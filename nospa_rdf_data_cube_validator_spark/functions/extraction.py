@@ -1,0 +1,85 @@
+"""Vectorized mention detection / triple extraction over transcript turns.
+
+This is the pipeline's only Python data-plane code, and it runs as
+Arrow-batched ``mapInPandas`` (no per-row Python UDFs, per BASELINE.json
+input_hint). Extraction uses pandas' vectorized ``str.extract`` per relation
+template; keys (conv_id, turn_idx) ride through every batch so the
+per-turn-text-equality invariant under repartitioning is preserved by
+construction.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import entities as E
+
+MENTION_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("rel", StringType(), False),
+        StructField("subj_surface", StringType(), False),
+        StructField("obj_surface", StringType(), False),
+    ]
+)
+
+
+def _template_patterns() -> list[tuple[str, str]]:
+    """(regex, relation_local_id) per template; '{}' slots become lazy
+    capture groups anchored by the template's literal text."""
+    pats = []
+    for tmpl, rel in E.TEMPLATES:
+        parts = [re.escape(p) for p in tmpl.split("{}")]
+        pattern = "^" + "(.+?)".join(parts) + "$"
+        pats.append((pattern, rel))
+    return pats
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, text) -> (conv_id, turn_idx, rel, subj_surface, obj_surface).
+
+    One output row per detected relation mention. Turns whose text matches
+    no template produce no rows (dropped, not nulled)."""
+    patterns = _template_patterns()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["text"].astype("string")
+            outs = []
+            for pattern, rel in patterns:
+                ext = texts.str.extract(pattern, expand=True)
+                hit = ext[0].notna()
+                if not hit.any():
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": pdf.loc[hit, "conv_id"],
+                            "turn_idx": pdf.loc[hit, "turn_idx"].astype("int32"),
+                            "rel": rel,
+                            "subj_surface": ext.loc[hit, 0],
+                            "obj_surface": ext.loc[hit, 1],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in MENTION_SCHEMA.fields}
+                )
+
+    cols = transcripts.select("conv_id", F.col("turn_idx").cast("int"), "text")
+    return cols.mapInPandas(gen, schema=MENTION_SCHEMA)

@@ -1,0 +1,210 @@
+"""Data Cube normalization N1-N5 as immutable DataFrame transforms.
+
+Reference semantics: nonsparql/Normalizer.java (phase 1 type/property
+closure at :26-71, phase 2 attachment push-down at :90-189, insertion at
+:197-206); SPARQL twin sparql/NormalizationAlgorithm.java:7-89. The
+reference mutates the Jena model in place with set semantics (re-adding a
+triple is a no-op); here every rule is a projection/join producing new
+triple rows, unioned and deduplicated — INSERT-only and idempotent, as
+required by SURVEY.md §7.0.
+
+Scale shape: every derived-triple join is (huge observation-side) x
+(tiny schema-side); the schema sides are explicitly broadcast so phase 2
+adds no shuffle over the observation table beyond the final dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import qb, terms
+from ..plans.algebra import TripleStore, path_join, star_fetch
+
+
+def _type_rows(subjects: DataFrame, rdf_class: str) -> DataFrame:
+    """(subj) -> (subj, rdf:type, <class>) triple rows."""
+    return subjects.select(
+        F.col("subj"),
+        F.lit(qb.RDF_TYPE).alias("pred"),
+        F.lit(rdf_class).alias("obj"),
+        F.lit(terms.KIND_IRI).alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+
+
+def _obj_as_subj(store: TripleStore, pred: str) -> DataFrame:
+    """Resource objects of ``pred``, promoted to a subject column.
+
+    Mirrors the reference's ``obs.isResource()`` guard
+    (Normalizer.java:28,35,107): literals are never typed.
+    """
+    return (
+        store.df.where((F.col("pred") == pred) & (F.col("obj_kind") != terms.KIND_LITERAL))
+        .select(F.col("obj").alias("subj"))
+        .distinct()
+    )
+
+
+def normalize_phase1(store: TripleStore) -> TripleStore:
+    """N1 (type closure) + N2 (property closure), Normalizer.java:26-71."""
+    df = store.df
+    new_parts: list[DataFrame] = []
+
+    # N1a: ?slice qb:observation ?o  =>  ?o a qb:Observation
+    new_parts.append(_type_rows(_obj_as_subj(store, qb.QB_OBSERVATION_PROP), qb.QB_OBSERVATION))
+
+    # N1b: ?o qb:dataSet ?ds  =>  ?o a qb:Observation ; ?ds a qb:DataSet
+    ds_edges = df.where(F.col("pred") == qb.QB_DATASET_PROP)
+    new_parts.append(_type_rows(ds_edges.select("subj").distinct(), qb.QB_OBSERVATION))
+    new_parts.append(_type_rows(_obj_as_subj(store, qb.QB_DATASET_PROP), qb.QB_DATASET))
+
+    # N1c: ?ds qb:slice ?s  =>  ?s a qb:Slice
+    new_parts.append(_type_rows(_obj_as_subj(store, qb.QB_SLICE_PROP), qb.QB_SLICE))
+
+    # N2: ?spec qb:dimension|measure|attribute ?p  =>
+    #     ?p a qb:{Dimension,Measure,Attribute}Property ;
+    #     ?spec qb:componentProperty ?p
+    for comp_pred, comp_class in (
+        (qb.QB_DIMENSION, qb.QB_DIMENSION_PROPERTY),
+        (qb.QB_MEASURE, qb.QB_MEASURE_PROPERTY),
+        (qb.QB_ATTRIBUTE, qb.QB_ATTRIBUTE_PROPERTY),
+    ):
+        edges = df.where(F.col("pred") == comp_pred)
+        new_parts.append(_type_rows(_obj_as_subj(store, comp_pred), comp_class))
+        new_parts.append(
+            edges.select(
+                "subj",
+                F.lit(qb.QB_COMPONENT_PROPERTY).alias("pred"),
+                "obj",
+                "obj_kind",
+                "obj_datatype",
+                "obj_lang",
+            )
+        )
+
+    derived = new_parts[0]
+    for part in new_parts[1:]:
+        derived = derived.unionByName(part)
+    return store.union(derived)
+
+
+def _ds_specs(store: TripleStore) -> DataFrame:
+    """(ds, spec) pairs: ?ds qb:structure/qb:component ?spec (Normalizer.java:91-92)."""
+    return path_join(store, [qb.QB_STRUCTURE, qb.QB_COMPONENT]).select(
+        F.col("root").alias("ds"), F.col("leaf").alias("spec")
+    )
+
+
+def _attached_comps(store: TripleStore, attachment: str) -> DataFrame:
+    """(spec, comp) for specs marked qb:componentAttachment <attachment>,
+    keeping only IRI-valued component properties (comp.isURIResource(),
+    Normalizer.java:107,142)."""
+    fetched = star_fetch(
+        store,
+        [(qb.QB_COMPONENT_ATTACHMENT, attachment)],
+        qb.QB_COMPONENT_PROPERTY,
+        with_kind=True,
+    )
+    return fetched.where(F.col("obj_kind") == terms.KIND_IRI).select(
+        F.col("subj").alias("spec"), F.col("obj").alias("comp")
+    )
+
+
+def _emit(values: DataFrame, target_col: str) -> DataFrame:
+    """Shape (target, comp, obj...) rows into canonical triple rows."""
+    return values.select(
+        F.col(target_col).alias("subj"),
+        F.col("comp").alias("pred"),
+        "obj",
+        "obj_kind",
+        "obj_datatype",
+        "obj_lang",
+    )
+
+
+def normalize_phase2(store: TripleStore) -> TripleStore:
+    """N3-N5 attachment push-down (Normalizer.java:90-189).
+
+    N3: dataset-attached component values copied onto every observation of
+        the dataset; N4: slice-attached component values copied from each
+        slice onto its member observations; N5: any *dimension* value
+        sitting on a slice pushed to member observations.
+    """
+    df = store.df
+    ds_specs = _ds_specs(store)
+
+    obs_ds = store.p(qb.QB_DATASET_PROP).select(
+        F.col("subj").alias("obs"), F.col("obj").alias("ds")
+    )
+    ds_slice = (
+        df.where((F.col("pred") == qb.QB_SLICE_PROP) & (F.col("obj_kind") != terms.KIND_LITERAL))
+        .select(F.col("subj").alias("ds"), F.col("obj").alias("slice"))
+    )
+    slice_obs = (
+        df.where(
+            (F.col("pred") == qb.QB_OBSERVATION_PROP)
+            & (F.col("obj_kind") != terms.KIND_LITERAL)
+        )
+        .select(F.col("subj").alias("slice"), F.col("obj").alias("obs"))
+    )
+
+    # --- N3: componentAttachment qb:DataSet -------------------------------
+    ds_comp = F.broadcast(
+        ds_specs.join(_attached_comps(store, qb.QB_DATASET), "spec").select("ds", "comp").distinct()
+    )
+    # values of the component on the dataset itself: (ds, comp) |><| T(subj=ds, pred=comp)
+    ds_vals = ds_comp.join(
+        df,
+        (df["subj"] == ds_comp["ds"]) & (df["pred"] == ds_comp["comp"]),
+        "inner",
+    ).select("ds", "comp", "obj", "obj_kind", "obj_datatype", "obj_lang")
+    n3 = _emit(obs_ds.join(F.broadcast(ds_vals), "ds"), "obs")
+
+    # --- N4: componentAttachment qb:Slice ---------------------------------
+    slice_comp = (
+        ds_specs.join(_attached_comps(store, qb.QB_SLICE), "spec")
+        .select("ds", "comp")
+        .distinct()
+        .join(ds_slice, "ds")
+        .select("slice", "comp")
+        .distinct()
+    )
+    slice_vals = F.broadcast(slice_comp).join(
+        df,
+        (df["subj"] == slice_comp["slice"]) & (df["pred"] == slice_comp["comp"]),
+        "inner",
+    ).select("slice", "comp", "obj", "obj_kind", "obj_datatype", "obj_lang")
+    n4 = _emit(slice_obs.join(F.broadcast(slice_vals), "slice"), "obs")
+
+    # --- N5: dimension values sitting on slices ---------------------------
+    dims_defined = store.typed(qb.QB_DIMENSION_PROPERTY).select(F.col("subj").alias("comp"))
+    spec_comps = (
+        store.p(qb.QB_COMPONENT_PROPERTY, with_kind=True)
+        .where(F.col("obj_kind") == terms.KIND_IRI)
+        .select(F.col("subj").alias("spec"), F.col("obj").alias("comp"))
+    )
+    dim_comp = (
+        ds_specs.join(spec_comps, "spec")
+        .select("ds", "comp")
+        .join(F.broadcast(dims_defined), "comp", "left_semi")
+        .distinct()
+        .join(ds_slice, "ds")
+        .select("slice", "comp")
+        .distinct()
+    )
+    dim_vals = F.broadcast(dim_comp).join(
+        df,
+        (df["subj"] == dim_comp["slice"]) & (df["pred"] == dim_comp["comp"]),
+        "inner",
+    ).select("slice", "comp", "obj", "obj_kind", "obj_datatype", "obj_lang")
+    n5 = _emit(slice_obs.join(F.broadcast(dim_vals), "slice"), "obs")
+
+    return store.union(n3.unionByName(n4).unionByName(n5))
+
+
+def normalize(store: TripleStore) -> TripleStore:
+    """Phase 1 then phase 2, matching NospaValidator.normalize() ordering
+    (nonsparql/NospaValidator.java:72-78)."""
+    return normalize_phase2(normalize_phase1(store))

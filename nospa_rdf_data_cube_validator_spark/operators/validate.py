@@ -1,0 +1,747 @@
+"""The 21 RDF Data Cube integrity constraints as DataFrame plans.
+
+Semantics follow the *NoSPA* (non-SPARQL) implementations of the reference
+(nonsparql/ValidatorIC*.java; see SURVEY.md §2.11 for the file:line map and
+§7.0 for the quirks register). Each ``icN()`` returns a lazy violation
+DataFrame; ``validate_all()`` returns the full dict. Differences from the
+reference are deliberate and documented per-method:
+
+- results are deterministic (the reference iterates HashSets; e.g. IC-12
+  flags "all but the first seen" in hash order — we flag all but the
+  minimum subject),
+- cross-entity accumulation quirks that are order-nondeterministic in the
+  reference (IC-8 cross-DSD propSet, ValidatorIC8.java:29-45; IC-19
+  cross-dataset dim maps, ValidatorIC19.java:24-55) are replaced by the
+  per-entity pairing of the official SPARQL constraints, which is the only
+  deterministic reading.
+
+Scale shape (100 TB target): everything schema-level (DSDs, components,
+code lists, hierarchies) is tiny and explicitly broadcast; the only
+observation-scale shuffles are the per-observation aggregations feeding
+IC-1/11/12/13/14/15/16/17, each a single groupBy/window keyed by
+observation or (dataset, dim-key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import qb, terms
+from ..plans.algebra import TripleStore, path_join, star_fetch, star_subjects
+from ..plans.closure import transitive_closure
+
+_EMPTY_STR_ARRAY = "array()"
+
+
+class CubeValidator:
+    """Validator over a normalized triples store (cf. README.md:73 of the
+    reference: validation assumes a normalized cube)."""
+
+    def __init__(self, store: TripleStore):
+        self.store = store
+        self._memo: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------------
+    # shared sub-plans (all cached; metadata ones are tiny)
+    # ------------------------------------------------------------------
+    def _cached(self, key: str, build) -> DataFrame:
+        if key not in self._memo:
+            self._memo[key] = build()
+        return self._memo[key]
+
+    def obs_ds(self) -> DataFrame:
+        """(obs, ds): the observation-scale qb:dataSet edge table."""
+        return self._cached(
+            "obs_ds",
+            lambda: self.store.p(qb.QB_DATASET_PROP).select(
+                F.col("subj").alias("obs"), F.col("obj").alias("ds")
+            ),
+        )
+
+    def ds_list(self) -> DataFrame:
+        """Datasets = subjects of qb:structure (the reference's iteration
+        domain for per-dataset checks, e.g. ValidatorIC11_12.java:30-41)."""
+        return self._cached(
+            "ds_list",
+            lambda: self.store.p(qb.QB_STRUCTURE)
+            .select(F.col("subj").alias("ds"))
+            .distinct(),
+        )
+
+    def ds_comp_props(self) -> DataFrame:
+        """(ds, prop, prop_kind): ?ds qb:structure/qb:component/qb:componentProperty ?prop."""
+        def build():
+            structure = self.store.p(qb.QB_STRUCTURE).select(
+                F.col("subj").alias("ds"), F.col("obj").alias("dsd")
+            )
+            component = self.store.p(qb.QB_COMPONENT).select(
+                F.col("subj").alias("dsd"), F.col("obj").alias("spec")
+            )
+            comp_prop = self.store.p(qb.QB_COMPONENT_PROPERTY, with_kind=True).select(
+                F.col("subj").alias("spec"),
+                F.col("obj").alias("prop"),
+                F.col("obj_kind").alias("prop_kind"),
+            )
+            return (
+                structure.join(F.broadcast(component), "dsd")
+                .join(F.broadcast(comp_prop), "spec")
+                .select("ds", "prop", "prop_kind")
+                .distinct()
+            )
+
+        return self._cached("ds_comp_props", build)
+
+    def dims_defined(self) -> DataFrame:
+        return self._cached("dims_defined", lambda: self.store.typed(qb.QB_DIMENSION_PROPERTY))
+
+    def measures_defined(self) -> DataFrame:
+        return self._cached("measures_defined", lambda: self.store.typed(qb.QB_MEASURE_PROPERTY))
+
+    def attrs_defined(self) -> DataFrame:
+        return self._cached("attrs_defined", lambda: self.store.typed(qb.QB_ATTRIBUTE_PROPERTY))
+
+    def _obs_pred_stats(self, preds: DataFrame) -> DataFrame:
+        """(obs, pred, n_vals, min_val) over triples whose pred is in ``preds``.
+
+        ``preds`` must be a one-column ('pred') metadata-scale DataFrame; it
+        is broadcast so the big scan never shuffles before the groupBy.
+        """
+        cand = self.store.df.join(F.broadcast(preds.distinct()), "pred", "left_semi")
+        return cand.groupBy(F.col("subj").alias("obs"), "pred").agg(
+            F.count("*").alias("n_vals"), F.min("obj").alias("min_val")
+        )
+
+    @staticmethod
+    def _count_check(base: DataFrame, hop: DataFrame, key: str, out: str) -> DataFrame:
+        """A1 cardinality != 1 ("exactly one") check: left join keeps the
+        zero case that a plain groupBy over matches would drop."""
+        joined = base.join(hop, base["subj"] == hop["s2"], "left")
+        return (
+            joined.groupBy(base["subj"].alias(key))
+            .agg(
+                F.sum(F.when(hop["o2"].isNotNull(), 1).otherwise(0)).alias(f"n_{out}"),
+                F.sort_array(F.collect_set(hop["o2"])).alias(out),
+            )
+            .where(F.col(f"n_{out}") != 1)
+        )
+
+    def _hop2(self, pred: str) -> DataFrame:
+        return self.store.p(pred).select(F.col("subj").alias("s2"), F.col("obj").alias("o2"))
+
+    # ------------------------------------------------------------------
+    # IC-1 .. IC-10 (metadata-dominated checks)
+    # ------------------------------------------------------------------
+    def ic1(self) -> DataFrame:
+        """IC-1 Unique DataSet (ValidatorIC1.java:24-36) -> (obs, datasets, n_datasets)."""
+        obs = self.store.typed(qb.QB_OBSERVATION)
+        return self._count_check(obs, self._hop2(qb.QB_DATASET_PROP), "obs", "datasets")
+
+    def ic2(self) -> DataFrame:
+        """IC-2 Unique DSD (ValidatorIC2.java:24-36) -> (ds, dsds, n_dsds)."""
+        ds = self.store.typed(qb.QB_DATASET)
+        return self._count_check(ds, self._hop2(qb.QB_STRUCTURE), "ds", "dsds")
+
+    def ic3(self) -> DataFrame:
+        """IC-3 DSD includes measure (ValidatorIC3.java:25-39) -> (dsd)."""
+        dsds = self.store.typed(qb.QB_DSD).select(F.col("subj").alias("dsd"))
+        dsd_props = path_join(self.store, [qb.QB_COMPONENT, qb.QB_COMPONENT_PROPERTY])
+        with_measure = (
+            dsd_props.join(
+                self.measures_defined().withColumnRenamed("subj", "leaf"), "leaf", "left_semi"
+            )
+            .select(F.col("root").alias("dsd"))
+            .distinct()
+        )
+        return dsds.join(with_measure, "dsd", "left_anti")
+
+    def ic4(self) -> DataFrame:
+        """IC-4 Dimensions have range (ValidatorIC4.java:22-30) -> (dim)."""
+        dims = self.dims_defined().select(F.col("subj").alias("dim"))
+        with_range = self.store.subjects_with(qb.RDFS_RANGE).select(F.col("subj").alias("dim"))
+        return dims.join(with_range, "dim", "left_anti")
+
+    def ic5(self) -> DataFrame:
+        """IC-5 Concept dimensions have code lists (ValidatorIC5.java:23-34) -> (dim)."""
+        concept_dims = star_subjects(
+            self.store,
+            [(qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY), (qb.RDFS_RANGE, qb.SKOS_CONCEPT)],
+        ).select(F.col("subj").alias("dim"))
+        with_cl = self.store.subjects_with(qb.QB_CODE_LIST).select(F.col("subj").alias("dim"))
+        return concept_dims.join(with_cl, "dim", "left_anti")
+
+    def ic6(self) -> DataFrame:
+        """IC-6 Only attributes may be optional (ValidatorIC6.java:21-38) -> (comp_prop).
+
+        Scope quirk kept: only component specs that are the object of some
+        qb:component edge are checked (ValidatorIC6.java:27-28)."""
+        optional = star_fetch(
+            self.store, [(qb.QB_COMPONENT_REQUIRED, terms.FALSE)], qb.QB_COMPONENT_PROPERTY
+        ).select(F.col("subj").alias("spec"), F.col("obj").alias("comp_prop"))
+        referenced = self.store.objects_of(qb.QB_COMPONENT).select(F.col("obj").alias("spec"))
+        props = optional.join(referenced, "spec", "left_semi").select("comp_prop").distinct()
+        return props.join(
+            self.attrs_defined().withColumnRenamed("subj", "comp_prop"), "comp_prop", "left_anti"
+        )
+
+    def ic7(self) -> DataFrame:
+        """IC-7 Slice keys must be declared (ValidatorIC7.java:23-34) -> (slice_key)."""
+        keys = self.store.typed(qb.QB_SLICE_KEY).select(F.col("subj").alias("slice_key"))
+        attached = (
+            self.store.typed(qb.QB_DSD)
+            .join(self.store.p(qb.QB_SLICE_KEY_PROP), "subj", "inner")
+            .select(F.col("obj").alias("slice_key"))
+            .distinct()
+        )
+        return keys.join(attached, "slice_key", "left_anti")
+
+    def ic8(self) -> DataFrame:
+        """IC-8 Slice keys consistent with DSD (ValidatorIC8.java:24-47) -> (comp_prop).
+
+        Deviation (documented, SURVEY.md §7.0): the reference accumulates
+        slice-key props across DSDs without reset, which is
+        iteration-order-nondeterministic with >1 DSD; we pair (dsd, prop)
+        per the official SPARQL IC-8."""
+        dsd_sk = self.store.p(qb.QB_SLICE_KEY_PROP).select(
+            F.col("subj").alias("dsd"), F.col("obj").alias("slice_key")
+        )
+        sk_props = star_fetch(
+            self.store, [(qb.RDF_TYPE, qb.QB_SLICE_KEY)], qb.QB_COMPONENT_PROPERTY
+        ).select(F.col("subj").alias("slice_key"), F.col("obj").alias("comp_prop"))
+        pairs = dsd_sk.join(sk_props, "slice_key").select("dsd", "comp_prop").distinct()
+        declared = path_join(self.store, [qb.QB_COMPONENT, qb.QB_COMPONENT_PROPERTY]).select(
+            F.col("root").alias("dsd"), F.col("leaf").alias("comp_prop")
+        )
+        return (
+            pairs.join(declared, ["dsd", "comp_prop"], "left_anti")
+            .select("comp_prop")
+            .distinct()
+        )
+
+    def ic9(self) -> DataFrame:
+        """IC-9 Unique slice structure (ValidatorIC9.java:23-34) -> (slice, structures, n_structures)."""
+        slices = self.store.typed(qb.QB_SLICE)
+        return self._count_check(slices, self._hop2(qb.QB_SLICE_STRUCTURE), "slice", "structures")
+
+    def ic10(self) -> DataFrame:
+        """IC-10 Slice dimensions complete (ValidatorIC10.java:20-34) -> (slice, dim)."""
+        slice_dims = (
+            path_join(self.store, [qb.QB_SLICE_STRUCTURE, qb.QB_COMPONENT_PROPERTY])
+            .select(F.col("root").alias("slice"), F.col("leaf").alias("dim"))
+            .distinct()
+        )
+        present = (
+            self.store.df.select(F.col("subj").alias("slice"), F.col("pred").alias("dim"))
+            .join(F.broadcast(slice_dims), ["slice", "dim"], "left_semi")
+            .distinct()
+        )
+        return slice_dims.join(present, ["slice", "dim"], "left_anti")
+
+    # ------------------------------------------------------------------
+    # IC-11 / IC-12 — the fused observation-scale hot path
+    # ------------------------------------------------------------------
+    def ds_dims_arr(self) -> DataFrame:
+        """(ds, dims sorted-array): declared dims per dataset, kept even when
+        empty (a structure-bearing dataset with zero dims makes every obs
+        after the first a duplicate under the reference's empty-key set)."""
+        def build():
+            ds_dims = (
+                self.ds_comp_props()
+                .where(F.col("prop_kind") == terms.KIND_IRI)
+                .join(self.dims_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
+                .select("ds", "prop")
+                .distinct()
+            )
+            grouped = ds_dims.groupBy("ds").agg(F.sort_array(F.collect_set("prop")).alias("dims"))
+            return self.ds_list().join(grouped, "ds", "left").withColumn(
+                "dims", F.coalesce("dims", F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
+            )
+
+        return self._cached("ds_dims_arr", build)
+
+    def _ic11_12_base(self) -> DataFrame:
+        """Shared per-(obs, ds) frame with dims / missing / chosen dim values
+        (fusion of IC-11+IC-12 over one pass, ValidatorIC11_12.java:61-85)."""
+        def build():
+            ds_dims_arr = F.broadcast(self.ds_dims_arr())
+            all_dims = (
+                self.ds_dims_arr().select(F.explode("dims").alias("pred")).distinct()
+            )
+            stats = self._obs_pred_stats(all_dims)
+            per_obs = stats.groupBy("obs").agg(
+                F.collect_list(F.struct("pred", "min_val")).alias("pvs")
+            )
+            base = (
+                self.obs_ds()
+                .join(ds_dims_arr, "ds", "inner")
+                .join(per_obs, "obs", "left")
+                .withColumn(
+                    "pvs",
+                    F.coalesce(
+                        "pvs", F.expr("array()").cast("array<struct<pred:string,min_val:string>>")
+                    ),
+                )
+                .withColumn("relevant", F.expr("filter(pvs, x -> array_contains(dims, x.pred))"))
+                .withColumn(
+                    "missing", F.expr("array_except(dims, transform(relevant, x -> x.pred))")
+                )
+            )
+            return base
+
+        return self._cached("ic11_12_base", build)
+
+    def ic11(self) -> DataFrame:
+        """IC-11 All dimensions required -> (obs, dim).
+
+        Reference picks the *first* value per dim from a HashSet iterator
+        (ValidatorIC11_12.java:75); we deterministically use the minimum
+        canonical term."""
+        base = self._ic11_12_base()
+        return (
+            base.where(F.size("missing") > 0)
+            .select("obs", F.explode("missing").alias("dim"))
+            .distinct()
+        )
+
+    def ic12(self) -> DataFrame:
+        """IC-12 No duplicate observations -> (obs).
+
+        Duplicate key is the *set* of chosen dimension values — NoSPA's
+        value-set collapse quirk (Set<RDFNode> valueSet,
+        ValidatorIC11_12.java:70-80): crossed values over two dims collide.
+        The reference flags all but the hash-order-first member of each
+        duplicate group; we flag all but the minimum observation id."""
+        base = self._ic11_12_base()
+        complete = base.where(F.size("missing") == 0).withColumn(
+            "dim_key",
+            F.expr("array_sort(array_distinct(transform(relevant, x -> x.min_val)))"),
+        )
+        w = Window.partitionBy("ds", "dim_key")
+        return (
+            complete.withColumn("rep", F.min("obs").over(w))
+            .where(F.col("obs") != F.col("rep"))
+            .select("obs")
+            .distinct()
+        )
+
+    # ------------------------------------------------------------------
+    # IC-13 / IC-14 — expected-property completeness per observation
+    # ------------------------------------------------------------------
+    def _missing_props(self, ds_props: DataFrame, out_col: str) -> DataFrame:
+        """Generic 'obs is missing one of its dataset's expected props' plan.
+
+        ds_props: metadata-scale (ds, prop). Returns (obs, <out_col>) rows.
+        """
+        arr = ds_props.groupBy("ds").agg(F.sort_array(F.collect_set("prop")).alias("props"))
+        stats = self._obs_pred_stats(ds_props.select(F.col("prop").alias("pred")))
+        per_obs = stats.groupBy("obs").agg(F.collect_set("pred").alias("present"))
+        return (
+            self.obs_ds()
+            .join(F.broadcast(arr), "ds", "inner")
+            .join(per_obs, "obs", "left")
+            .withColumn(
+                "present", F.coalesce("present", F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
+            )
+            .withColumn("missing", F.expr("array_except(props, present)"))
+            .where(F.size("missing") > 0)
+            .select("obs", F.explode("missing").alias(out_col))
+            .distinct()
+        )
+
+    def ic13(self) -> DataFrame:
+        """IC-13 Required attributes (ValidatorIC13.java:20-66) -> (obs, attr)."""
+        ds_spec = path_join(self.store, [qb.QB_STRUCTURE, qb.QB_COMPONENT]).select(
+            F.col("root").alias("ds"), F.col("leaf").alias("spec")
+        )
+        req_specs = self.store.subjects_with(qb.QB_COMPONENT_REQUIRED, terms.TRUE).select(
+            F.col("subj").alias("spec")
+        )
+        spec_props = (
+            self.store.p(qb.QB_COMPONENT_PROPERTY, with_kind=True)
+            .where(F.col("obj_kind") == terms.KIND_IRI)
+            .select(F.col("subj").alias("spec"), F.col("obj").alias("prop"))
+        )
+        ds_attrs = (
+            ds_spec.join(req_specs, "spec", "left_semi")
+            .join(F.broadcast(spec_props), "spec")
+            .select("ds", "prop")
+            .distinct()
+        )
+        return self._missing_props(ds_attrs, "attr")
+
+    def measure_type_datasets(self) -> DataFrame:
+        """Datasets whose component properties include qb:measureType."""
+        return self._cached(
+            "mt_ds",
+            lambda: self.ds_comp_props()
+            .where(F.col("prop") == qb.QB_MEASURE_TYPE)
+            .select("ds")
+            .distinct(),
+        )
+
+    def ic14(self) -> DataFrame:
+        """IC-14 All measures present (ValidatorIC14.java:21-62) -> (obs, measure).
+
+        Quirk kept (SURVEY.md §7.0): for measureType cubes the reference
+        checks the *unfiltered* component-property set instead of skipping
+        the dataset (ValidatorIC14.java:30-35)."""
+        dcp = self.ds_comp_props().where(F.col("prop_kind") == terms.KIND_IRI)
+        mt_ds = self.measure_type_datasets()
+        with_mt = dcp.join(mt_ds, "ds", "left_semi").select("ds", "prop")
+        without_mt = (
+            dcp.join(mt_ds, "ds", "left_anti")
+            .join(self.measures_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
+            .select("ds", "prop")
+        )
+        return self._missing_props(with_mt.unionByName(without_mt).distinct(), "measure")
+
+    # ------------------------------------------------------------------
+    # IC-15 / IC-16 — measure-dimension cubes
+    # ------------------------------------------------------------------
+    def _ds_measures_arr(self) -> DataFrame:
+        """(ds, measures sorted-array) for measureType datasets."""
+        def build():
+            meas = (
+                self.ds_comp_props()
+                .join(self.measure_type_datasets(), "ds", "left_semi")
+                .join(
+                    self.measures_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi"
+                )
+                .select("ds", "prop")
+                .distinct()
+            )
+            grouped = meas.groupBy("ds").agg(F.sort_array(F.collect_set("prop")).alias("measures"))
+            return self.measure_type_datasets().join(grouped, "ds", "left").withColumn(
+                "measures", F.coalesce("measures", F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
+            )
+
+        return self._cached("ds_measures_arr", build)
+
+    def _ic15_16_base(self) -> DataFrame:
+        """Per (obs in measureType cube): measureType values + measure value count
+        (ValidatorIC15_16.java:25-70)."""
+        def build():
+            obs_mt_cube = self.obs_ds().join(self.measure_type_datasets(), "ds", "left_semi")
+            mt_stats = (
+                self.store.df.where(F.col("pred") == qb.QB_MEASURE_TYPE)
+                .groupBy(F.col("subj").alias("obs"))
+                .agg(
+                    F.sort_array(F.collect_set("obj")).alias("measure_types"),
+                    F.count("*").alias("n_mt_stmts"),
+                )
+                .withColumn("n_mt", F.size("measure_types"))
+            )
+            meas_counts = self._obs_pred_stats(
+                self.measures_defined().select(F.col("subj").alias("pred"))
+            ).select("obs", F.col("pred").alias("mt"), F.col("n_vals").alias("n_meas_vals"))
+            base = (
+                obs_mt_cube.join(mt_stats, "obs", "left")
+                .withColumn(
+                    "measure_types",
+                    F.coalesce("measure_types", F.expr(_EMPTY_STR_ARRAY).cast("array<string>")),
+                )
+                .withColumn("n_mt", F.coalesce("n_mt", F.lit(0)))
+                .withColumn("mt", F.when(F.col("n_mt") == 1, F.col("measure_types")[0]))
+                .join(F.broadcast(self._ds_measures_arr()), "ds", "inner")
+                .join(meas_counts, ["obs", "mt"], "left")
+                .withColumn("n_meas_vals", F.coalesce("n_meas_vals", F.lit(0)))
+            )
+            return base
+
+        return self._cached("ic15_16_base", build)
+
+    def ic15(self) -> DataFrame:
+        """IC-15 Measure dimension consistent -> (obs, measure_types).
+
+        The fused reference result is split by set size: exactly-one
+        measureType but wrong/absent measure value -> IC-15
+        (NospaValidator.java:339-347)."""
+        base = self._ic15_16_base()
+        return (
+            base.where(
+                (F.col("n_mt") == 1)
+                & (
+                    (~F.expr("array_contains(measures, mt)"))
+                    | (F.col("n_meas_vals") != 1)
+                )
+            )
+            .select("obs", "measure_types")
+            .distinct()
+        )
+
+    def ic16(self) -> DataFrame:
+        """IC-16 Single measure on measure-dimension observation -> (obs, measure_types).
+
+        Set size != 1 (zero or multiple qb:measureType values) lands here,
+        matching the reference's split."""
+        base = self._ic15_16_base()
+        return base.where(F.col("n_mt") != 1).select("obs", "measure_types").distinct()
+
+    # ------------------------------------------------------------------
+    # IC-17 — group-size check replacing the reference's O(n^2) loop
+    # ------------------------------------------------------------------
+    def ic17(self) -> DataFrame:
+        """IC-17 All measures present in measure-dim cube (ValidatorIC17.java:24-96)
+        -> (obs, n_unequal).
+
+        groupBy on the per-dataset non-measure dim-value vector replaces the
+        reference's pairwise loop. Reference quirks kept: observations are
+        restricted to those carrying qb:measureType (:34,42); dims with != 1
+        value on an observation are skipped in the equality (vector slot is
+        NULL here; groupBy's null==null matches the mutual-skip case — the
+        one-sided-skip case is not group-expressible and is documented as a
+        deviation); violation iff group size != #declared measures, reported
+        as n_unequal = |obs| - |group| (:50-57)."""
+        dcp = self.ds_comp_props()
+        n_meas = (
+            dcp.join(self.measures_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
+            .groupBy("ds")
+            .agg(F.countDistinct("prop").alias("n_measures"))
+        )
+        ds_dims17 = (
+            dcp.where((F.col("prop_kind") == terms.KIND_IRI) & (F.col("prop") != qb.QB_MEASURE_TYPE))
+            .join(self.dims_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
+            .select("ds", "prop")
+            .distinct()
+        )
+        dims_arr = (
+            self.ds_list()
+            .join(
+                ds_dims17.groupBy("ds").agg(F.sort_array(F.collect_set("prop")).alias("dims")),
+                "ds",
+                "left",
+            )
+            .withColumn("dims", F.coalesce("dims", F.expr(_EMPTY_STR_ARRAY).cast("array<string>")))
+            .join(n_meas, "ds", "left")
+            .withColumn("n_measures", F.coalesce("n_measures", F.lit(0)))
+        )
+        obs_with_mt = (
+            self.store.subjects_with(qb.QB_MEASURE_TYPE).select(F.col("subj").alias("obs"))
+        )
+        stats = self._obs_pred_stats(ds_dims17.select(F.col("prop").alias("pred")))
+        per_obs = stats.groupBy("obs").agg(
+            F.collect_list(F.struct("pred", "n_vals", "min_val")).alias("pvs")
+        )
+        base = (
+            self.obs_ds()
+            .join(obs_with_mt, "obs", "left_semi")
+            .join(F.broadcast(dims_arr), "ds", "inner")
+            .join(per_obs, "obs", "left")
+            .withColumn(
+                "pvs",
+                F.coalesce(
+                    "pvs",
+                    F.expr("array()").cast(
+                        "array<struct<pred:string,n_vals:bigint,min_val:string>>"
+                    ),
+                ),
+            )
+            .withColumn(
+                "vec",
+                F.expr(
+                    "transform(dims, d -> array_min(transform("
+                    "filter(pvs, x -> x.pred = d and x.n_vals = 1), x -> x.min_val)))"
+                ),
+            )
+        )
+        w_group = Window.partitionBy("ds", "vec")
+        w_ds = Window.partitionBy("ds")
+        return (
+            base.withColumn("grp", F.count("*").over(w_group))
+            .withColumn("n_obs", F.count("*").over(w_ds))
+            .where(F.col("grp") != F.col("n_measures"))
+            .select("obs", (F.col("n_obs") - F.col("grp")).alias("n_unequal"))
+            .distinct()
+        )
+
+    # ------------------------------------------------------------------
+    # IC-18 — dataset/slice/observation back-link consistency
+    # ------------------------------------------------------------------
+    def ic18(self) -> DataFrame:
+        """IC-18 Consistent dataset links (ValidatorIC18.java:25-39) -> (obs, ds)."""
+        ds_slice = self.store.p(qb.QB_SLICE_PROP).select(
+            F.col("subj").alias("ds"), F.col("obj").alias("slice")
+        )
+        slice_obs = self.store.p(qb.QB_OBSERVATION_PROP).select(
+            F.col("subj").alias("slice"), F.col("obj").alias("obs")
+        )
+        pairs = ds_slice.join(slice_obs, "slice").select("ds", "obs").distinct()
+        return pairs.join(self.obs_ds(), ["obs", "ds"], "left_anti")
+
+    # ------------------------------------------------------------------
+    # IC-19 — code-list membership (ConceptScheme direct, Collection via member+)
+    # ------------------------------------------------------------------
+    def _dim_code_lists(self) -> DataFrame:
+        """(dim, cl): qb:codeList values of typed DimensionProperties."""
+        return self._cached(
+            "dim_cl",
+            lambda: star_fetch(
+                self.store, [(qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY)], qb.QB_CODE_LIST
+            ).select(F.col("subj").alias("dim"), F.col("obj").alias("cl")),
+        )
+
+    def _obs_dim_single_vals(self, dim_cl: DataFrame) -> DataFrame:
+        """(obs, dim, value) where the obs has exactly one value for a
+        code-listed dimension of its own dataset (valueSet.size()==1 guard,
+        ValidatorIC19.java:120-124 / ValidatorIC20_21.java:120-125)."""
+        ds_dims = (
+            self.ds_comp_props()
+            .where(F.col("prop_kind") == terms.KIND_IRI)
+            .join(self.dims_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
+            .join(dim_cl.select(F.col("dim").alias("prop")).distinct(), "prop", "left_semi")
+            .select("ds", F.col("prop").alias("dim"))
+            .distinct()
+        )
+        stats = self._obs_pred_stats(ds_dims.select(F.col("dim").alias("pred")))
+        vals = stats.where(F.col("n_vals") == 1).select(
+            "obs", F.col("pred").alias("dim"), F.col("min_val").alias("value")
+        )
+        return (
+            self.obs_ds()
+            .join(F.broadcast(ds_dims), "ds")
+            .join(vals, ["obs", "dim"], "inner")
+            .select("obs", "dim", "value")
+        )
+
+    def ic19(self) -> DataFrame:
+        """IC-19 Codes from code list (ValidatorIC19.java:22-158)
+        -> (value, code_lists sorted-array), keyed by VALUE like NoSPA
+        (not by obs/dim as in the SPARQL twin).
+
+        Deviation (documented): the reference accumulates the dim->codelist
+        maps across datasets in hash order (ValidatorIC19.java:24-55); we
+        pair each observation with the dimensions of its own dataset, the
+        official SPARQL reading."""
+        dim_cl = self._dim_code_lists()
+        schemes = self.store.typed(qb.SKOS_CONCEPT_SCHEME).select(F.col("subj").alias("cl"))
+        collections = self.store.typed(qb.SKOS_COLLECTION).select(F.col("subj").alias("cl"))
+        dim_ccl = dim_cl.join(schemes, "cl", "left_semi")
+        dim_lcl = dim_cl.join(collections, "cl", "left_semi")
+
+        concepts = self.store.typed(qb.SKOS_CONCEPT).select(F.col("subj").alias("value"))
+        in_scheme = self.store.p(qb.SKOS_IN_SCHEME).select(
+            F.col("subj").alias("value"), F.col("obj").alias("cl")
+        )
+
+        vals = self._obs_dim_single_vals(
+            dim_ccl.unionByName(dim_lcl).distinct()
+        ).select("dim", "value").distinct()
+
+        # ConceptScheme branch: value must be typed skos:Concept AND be
+        # skos:inScheme one of the dim's ConceptScheme code lists.
+        cpairs = vals.join(F.broadcast(dim_ccl.select("dim").distinct()), "dim", "left_semi")
+        ok_c = (
+            cpairs.join(F.broadcast(dim_ccl), "dim")
+            .join(in_scheme, ["value", "cl"], "left_semi")
+            .join(concepts, "value", "left_semi")
+            .select("dim", "value")
+            .distinct()
+        )
+        fail_c = cpairs.join(ok_c, ["dim", "value"], "left_anti").join(
+            F.broadcast(dim_ccl), "dim"
+        ).select("value", "cl")
+
+        # Collection branch: value must be typed skos:Concept AND reachable
+        # via skos:member+ from one of the dim's Collection code lists.
+        member = self.store.p(qb.SKOS_MEMBER).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        lcl_cls = dim_lcl.select("cl").distinct()
+        seeds = (
+            lcl_cls.join(member, lcl_cls["cl"] == member["src"], "inner")
+            .select("cl", F.col("dst").alias("node"))
+        )
+        reach = transitive_closure(seeds, member).withColumnRenamed("node", "value")
+        lpairs = vals.join(F.broadcast(dim_lcl.select("dim").distinct()), "dim", "left_semi")
+        ok_l = (
+            lpairs.join(F.broadcast(dim_lcl), "dim")
+            .join(reach, ["cl", "value"], "left_semi")
+            .join(concepts, "value", "left_semi")
+            .select("dim", "value")
+            .distinct()
+        )
+        fail_l = lpairs.join(ok_l, ["dim", "value"], "left_anti").join(
+            F.broadcast(dim_lcl), "dim"
+        ).select("value", "cl")
+
+        return (
+            fail_c.unionByName(fail_l)
+            .groupBy("value")
+            .agg(F.sort_array(F.collect_set("cl")).alias("code_lists"))
+        )
+
+    # ------------------------------------------------------------------
+    # IC-20 / IC-21 — hierarchical code lists (pcp* closure)
+    # ------------------------------------------------------------------
+    def _hierarchy_conn(self, direction: str) -> DataFrame:
+        """(cl, node) reachable-from-root sets per hierarchical code list.
+
+        direction 'direct': root -pcp*-> node (IC-20);
+        direction 'inverse': node -pcp*-> root, computed as closure over
+        flipped edges (ValidatorBase.java:264-268 swaps subject/object).
+        Code lists with no pcp declared for the direction fall back to
+        root membership only (ValidatorIC20_21.java:144-147)."""
+        hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
+        pcp_raw = self.store.p(qb.QB_PARENT_CHILD_PROPERTY, with_kind=True).select(
+            F.col("subj").alias("cl"), F.col("obj").alias("p"), "obj_kind"
+        ).join(hcl, "cl", "left_semi")
+        if direction == "direct":
+            cl_pcp = pcp_raw.where(F.col("obj_kind") == terms.KIND_IRI).select("cl", F.col("p").alias("pcp"))
+        else:
+            inv = self.store.p(qb.OWL_INVERSE_OF, with_kind=True).where(
+                F.col("obj_kind") == terms.KIND_IRI
+            ).select(F.col("subj").alias("p"), F.col("obj").alias("pcp"))
+            cl_pcp = (
+                pcp_raw.where(F.col("obj_kind") == terms.KIND_BNODE)
+                .join(inv, "p")
+                .select("cl", "pcp")
+            )
+        cl_pcp = cl_pcp.distinct()
+        roots = self.store.p(qb.QB_HIERARCHY_ROOT).select(
+            F.col("subj").alias("cl"), F.col("obj").alias("node")
+        ).join(hcl, "cl", "left_semi")
+
+        pcp_list = cl_pcp.select(F.col("pcp").alias("pred")).distinct()
+        edges = self.store.df.join(F.broadcast(pcp_list), "pred", "left_semi")
+        if direction == "direct":
+            edges = edges.select(F.col("pred").alias("pcp"), F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        else:
+            edges = edges.select(F.col("pred").alias("pcp"), F.col("obj").alias("src"), F.col("subj").alias("dst"))
+
+        seeds = roots.join(cl_pcp, "cl").select("cl", "pcp", "node")
+        reach = transitive_closure(seeds, edges, edge_tags=("pcp",)).select("cl", "node").distinct()
+        no_pcp_roots = roots.join(cl_pcp.select("cl").distinct(), "cl", "left_anti").select("cl", "node")
+        return reach.unionByName(no_pcp_roots).distinct()
+
+    def _ic20_21(self, direction: str) -> DataFrame:
+        hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
+        dim_hcl = self._dim_code_lists().join(hcl, "cl", "left_semi")
+        conn = self._hierarchy_conn(direction).withColumnRenamed("node", "value")
+        vals = self._obs_dim_single_vals(dim_hcl).select("dim", "value").distinct()
+        ok = (
+            vals.join(F.broadcast(dim_hcl), "dim")
+            .join(conn, ["cl", "value"], "left_semi")
+            .select("dim", "value")
+            .distinct()
+        )
+        return (
+            vals.join(ok, ["dim", "value"], "left_anti")
+            .join(F.broadcast(dim_hcl), "dim")
+            .groupBy("value")
+            .agg(F.sort_array(F.collect_set("cl")).alias("code_lists"))
+        )
+
+    def ic20(self) -> DataFrame:
+        """IC-20 Codes from hierarchy, direct pcp (ValidatorIC20_21.java:30-192)
+        -> (value, code_lists)."""
+        return self._ic20_21("direct")
+
+    def ic21(self) -> DataFrame:
+        """IC-21 Codes from hierarchy, inverse pcp -> (value, code_lists)."""
+        return self._ic20_21("inverse")
+
+    # ------------------------------------------------------------------
+    def validate_all(self) -> dict[str, DataFrame]:
+        """All 21 constraints, mirroring NospaValidator.validateAll()
+        (nonsparql/NospaValidator.java:83-103)."""
+        return {f"ic{i}": getattr(self, f"ic{i}")() for i in range(1, 22)}

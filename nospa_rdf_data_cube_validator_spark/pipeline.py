@@ -1,0 +1,220 @@
+"""End-to-end KG-construction pipeline (north_rule):
+
+transcripts -> vectorized triple extraction -> entity linking ->
+canonicalization -> materialized (subj, pred, obj) edge table shaped as an
+RDF Data Cube -> NoSPA-style validation of the 21 ICs.
+
+Stages are checkpoint-resumable: each stage materializes to a parquet
+snapshot under the work dir (an Iceberg snapshot stand-in — this sandbox
+ships no Iceberg jars, the layout/manifest semantics are the same) and a
+JSON manifest records completion; a killed run restarts from the last
+completed snapshot. Every stage also writes per-partition lineage rows
+(stage, partition_id, row_count) for the north_rule's lineage requirement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import qb, terms
+from .functions import entities as E
+from .functions.extraction import extract_mentions
+from .functions.linking import (
+    alias_edges,
+    canonicalize,
+    link_mentions,
+    resolve_aliases,
+    surface_dict,
+)
+from .operators.normalize import normalize
+from .operators.validate import CubeValidator
+from .plans.algebra import TripleStore
+
+KG_NS = "http://example.org/kg#"
+OBS_NS = "http://example.org/kgobs#"
+CONV_NS = "http://example.org/conv#"
+
+DIM_CONV = KG_NS + "convDim"
+DIM_TURN = KG_NS + "turnDim"
+DIM_REL = KG_NS + "relDim"
+MEAS_COUNT = KG_NS + "mentionCount"
+DATASET = KG_NS + "dataset-kg"
+DSD = KG_NS + "dsd-kg"
+
+XSD_INT = qb.PREFIX_XSD + "integer"
+
+
+# ---------------------------------------------------------------------------
+# graph materialization
+# ---------------------------------------------------------------------------
+def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
+    """Canonical linked mentions -> triples DataFrame:
+
+    1. the knowledge-graph edges themselves: (subj_entity, rel IRI, obj_entity)
+    2. one qb:Observation per extraction event, dimensioned by
+       (conversation, turn, relation) with a count measure — the cube that
+       the 21 ICs then validate,
+    3. the cube schema (DSD/components/dimension declarations), emitted once.
+    """
+    kg_edges = canonical.select(
+        F.col("subj_entity").alias("subj"),
+        F.concat(F.lit(E.PRED_NS), F.col("rel")).alias("pred"),
+        F.col("obj_entity").alias("obj"),
+        F.lit(terms.KIND_IRI).alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+    obs = canonical.select(
+        F.concat(F.lit(OBS_NS), F.col("conv_id"), F.lit("-t"), F.col("turn_idx"), F.lit("-"), F.col("rel")).alias("obs"),
+        F.concat(F.lit(CONV_NS), F.col("conv_id")).alias("conv"),
+        F.col("turn_idx").cast("string").alias("turn"),
+        F.concat(F.lit(E.PRED_NS), F.col("rel")).alias("relation"),
+    ).dropDuplicates(["obs"])
+
+    def triple(pred: str, obj_col, kind: str, dt: str | None = None) -> DataFrame:
+        return obs.select(
+            F.col("obs").alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj_col.alias("obj"),
+            F.lit(kind).alias("obj_kind"),
+            F.lit(dt).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
+    obs_triples = (
+        triple(qb.RDF_TYPE, F.lit(qb.QB_OBSERVATION), terms.KIND_IRI)
+        .unionByName(triple(qb.QB_DATASET_PROP, F.lit(DATASET), terms.KIND_IRI))
+        .unionByName(triple(DIM_CONV, F.col("conv"), terms.KIND_IRI))
+        .unionByName(
+            triple(
+                DIM_TURN,
+                F.concat(F.lit(f"literal:{XSD_INT}::"), F.col("turn")),
+                terms.KIND_LITERAL,
+                XSD_INT,
+            )
+        )
+        .unionByName(triple(DIM_REL, F.col("relation"), terms.KIND_IRI))
+        .unionByName(
+            triple(
+                MEAS_COUNT,
+                F.lit(f"literal:{XSD_INT}::1"),
+                terms.KIND_LITERAL,
+                XSD_INT,
+            )
+        )
+    )
+
+    schema_rows = [
+        terms.iri_row(DATASET, qb.RDF_TYPE, qb.QB_DATASET),
+        terms.iri_row(DATASET, qb.QB_STRUCTURE, DSD),
+        terms.iri_row(DSD, qb.RDF_TYPE, qb.QB_DSD),
+        terms.bnode_row(DSD, qb.QB_COMPONENT, "_:kgc1"),
+        terms.bnode_row(DSD, qb.QB_COMPONENT, "_:kgc2"),
+        terms.bnode_row(DSD, qb.QB_COMPONENT, "_:kgc3"),
+        terms.bnode_row(DSD, qb.QB_COMPONENT, "_:kgc4"),
+        terms.iri_row("_:kgc1", qb.QB_DIMENSION, DIM_CONV),
+        terms.iri_row("_:kgc2", qb.QB_DIMENSION, DIM_TURN),
+        terms.iri_row("_:kgc3", qb.QB_DIMENSION, DIM_REL),
+        terms.iri_row("_:kgc4", qb.QB_MEASURE, MEAS_COUNT),
+        terms.iri_row(DIM_CONV, qb.RDFS_RANGE, KG_NS + "Conversation"),
+        terms.iri_row(DIM_TURN, qb.RDFS_RANGE, XSD_INT),
+        terms.iri_row(DIM_REL, qb.RDFS_RANGE, qb.PREFIX_RDF + "Property"),
+        terms.iri_row(MEAS_COUNT, qb.RDFS_RANGE, XSD_INT),
+    ]
+    schema = spark.createDataFrame(schema_rows, terms.TRIPLES_SCHEMA)
+
+    return kg_edges.unionByName(obs_triples).unionByName(schema).dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-resumable runner
+# ---------------------------------------------------------------------------
+class StageRunner:
+    """Parquet-snapshot + manifest stage runner with per-partition lineage."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.manifest_path = os.path.join(workdir, "_MANIFEST.json")
+        self.manifest = self._load()
+
+    def _load(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as fh:
+                return json.load(fh)
+        return {"stages": {}}
+
+    def _save(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.manifest, fh, indent=2)
+        os.replace(tmp, self.manifest_path)
+
+    def _lineage(self, stage: str, df: DataFrame) -> None:
+        lineage = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("row_count"))
+            .withColumn("stage", F.lit(stage))
+        )
+        lineage.write.mode("overwrite").parquet(os.path.join(self.workdir, f"_lineage_{stage}"))
+
+    def run(self, stage: str, build) -> DataFrame:
+        """Return the stage's snapshot, computing it only if not already
+        materialized (resume-from-checkpoint semantics)."""
+        path = os.path.join(self.workdir, stage)
+        info = self.manifest["stages"].get(stage)
+        if info and info.get("done") and os.path.exists(path):
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df = build()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        self._lineage(stage, out)
+        self.manifest["stages"][stage] = {
+            "done": True,
+            "rows": out.count(),
+            "seconds": round(time.time() - t0, 3),
+        }
+        self._save()
+        return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    workdir: str,
+    validate: bool = True,
+) -> dict:
+    """Full KG-construction run. Returns dict with stage DataFrames and
+    (optionally) the violation DataFrames of all 21 ICs."""
+    runner = StageRunner(spark, workdir)
+
+    transcripts_df = runner.run("transcripts", lambda: transcripts)
+    mentions = runner.run("mentions", lambda: extract_mentions(transcripts_df))
+    dictionary = surface_dict(spark)
+    linked = runner.run("linked", lambda: link_mentions(mentions, dictionary))
+    alias_map = resolve_aliases(alias_edges(spark))
+    canonical = runner.run("canonical", lambda: canonicalize(linked, alias_map))
+    triples = runner.run("triples", lambda: edges_to_graph(spark, canonical))
+
+    result = {
+        "transcripts": transcripts_df,
+        "mentions": mentions,
+        "linked": linked,
+        "canonical": canonical,
+        "triples": triples,
+    }
+    if validate:
+        store = normalize(TripleStore(triples))
+        store.df = store.df.localCheckpoint(eager=True)
+        result["violations"] = CubeValidator(store).validate_all()
+    return result

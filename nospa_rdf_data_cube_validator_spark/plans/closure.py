@@ -1,0 +1,74 @@
+"""Iterative transitive closure (the one operator family Spark SQL lacks).
+
+Reference semantics: ``connectedByRepeatedProp`` BFS loops
+(nonsparql/ValidatorBase.java:234-293) used by IC-19 (skos:member+,
+ValidatorIC19.java:148-156) and IC-20/21 (qb:hierarchyRoot then pcp*,
+ValidatorIC20_21.java:120-160). The reference re-runs a per-value BFS for
+every (obs, dim value); here we compute the reachable set once,
+set-at-a-time, and semi-join values against it.
+
+The reference BFS has no visited set and diverges on cyclic graphs; this
+implementation is a proper fixpoint (frontier minus reached) and
+terminates. Lineage is cut with ``localCheckpoint`` so long chains don't
+blow up the plan. Closures run over *code-list/hierarchy metadata*, which
+stays small even when observations are at 100 TB scale — the observation
+side only ever semi-joins against the closed set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 3
+
+
+def transitive_closure(
+    seeds: DataFrame,
+    edges: DataFrame,
+    edge_tags: tuple[str, ...] = (),
+    max_iter: int = 64,
+) -> DataFrame:
+    """All nodes reachable from ``seeds`` along ``edges`` (0+ hops from seeds).
+
+    seeds:  DataFrame with a ``node`` column plus arbitrary tag columns
+            (e.g. ``code_list``, ``pcp``) that ride along unchanged.
+    edges:  DataFrame with ``src``/``dst`` plus ``edge_tags`` columns; when a
+            tag column appears in both, hops must match on it (per-pcp
+            edge sets for IC-20/21).
+    Returns a DataFrame with the same columns as ``seeds`` containing the
+    seeds and everything reachable from them.
+    """
+    tag_cols = [c for c in seeds.columns if c != "node"]
+    reached = seeds.dropDuplicates().localCheckpoint(eager=True)
+    frontier = reached
+    # The edge set is re-joined every iteration: materialize it once instead
+    # of recomputing its upstream plan per hop.
+    edges = edges.localCheckpoint(eager=True)
+    for it in range(max_iter):
+        cond = [frontier["node"] == edges["src"]]
+        for t in edge_tags:
+            cond.append(frontier[t] == edges[t])
+        stepped = (
+            frontier.join(edges, cond, "inner")
+            .select(*[frontier[c] for c in tag_cols], edges["dst"].alias("node"))
+            .dropDuplicates()
+        )
+        frontier = stepped.join(reached, tag_cols + ["node"], "left_anti")
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        reached = reached.unionByName(frontier)
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            reached = reached.localCheckpoint(eager=True)
+    return reached
+
+
+def reachable_pairs(
+    roots: DataFrame,
+    edges: DataFrame,
+    edge_tags: tuple[str, ...] = (),
+    max_iter: int = 64,
+) -> DataFrame:
+    """Alias with the argument names the validators use (roots == seeds)."""
+    return transitive_closure(roots, edges, edge_tags=edge_tags, max_iter=max_iter)
