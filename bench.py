@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the KG-construction pipeline (extract->link->canonicalize),
+the IC-11/12 hot path over a cube built from synthetic transcripts at a
+size proportional to sf, and the heaviest relational/dedup/similarity
+operators. Each timing forces full computation via count().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from nospa_rdf_data_cube_validator_spark.operators.normalize import normalize  # noqa: E402
+from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator  # noqa: E402
+from nospa_rdf_data_cube_validator_spark.pipeline import edges_to_graph  # noqa: E402
+from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore  # noqa: E402
+from nospa_rdf_data_cube_validator_spark.functions.extraction import extract_mentions  # noqa: E402
+from nospa_rdf_data_cube_validator_spark.functions.linking import (  # noqa: E402
+    alias_edges,
+    canonicalize,
+    link_mentions,
+    resolve_aliases,
+    surface_dict,
+)
+from nospa_rdf_data_cube_validator_spark.session import get_spark  # noqa: E402
+from nospa_rdf_data_cube_validator_spark.sources.transcripts import synth_transcripts  # noqa: E402
+
+HEADLINE = [
+    "kg_triples",
+    "ic12_duplicates",
+    "path_join",
+    "window_top1",
+    "closure",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_topk",
+    "text_quality",
+    "multimodal",
+    "events_sessionize",
+]
+
+
+def bench_cube_validation(spark, sf: float) -> tuple[float, dict]:
+    """Build a KG cube from synthetic transcripts (~1M turns/sf unit) and run
+    the IC-11/12 hot path — the reference's >99%-of-runtime operator."""
+    n_convs = max(200, int(sf * 100000))
+    tr = synth_transcripts(spark, n_convs=n_convs, base_turns=8, hot_convs=3, hot_turns=4000)
+    mentions = extract_mentions(tr)
+    linked = link_mentions(mentions, surface_dict(spark))
+    canon = canonicalize(linked, resolve_aliases(alias_edges(spark)))
+    triples = edges_to_graph(spark, canon)
+    store = TripleStore(triples)
+    t0 = time.time()
+    store.df = store.df.localCheckpoint(eager=True)  # materialize construction
+    build_sec = time.time() - t0
+    n_triples = store.df.count()
+    normalized = normalize(store)
+    normalized.df = normalized.df.localCheckpoint(eager=True)
+    v = CubeValidator(normalized)
+    t1 = time.time()
+    n_obs = normalized.df.where(F.col("pred") == "http://purl.org/linked-data/cube#dataSet").count()
+    n11 = v.ic11().count()
+    n12 = v.ic12().count()
+    validate_sec = time.time() - t1
+    stats = {
+        "n_triples": n_triples,
+        "n_obs": n_obs,
+        "ic11": n11,
+        "ic12": n12,
+        "build_sec": round(build_sec, 3),
+        "validate_sec": round(validate_sec, 3),
+        "obs_per_sec": round(n_obs / max(validate_sec, 1e-9)),
+        "triples_per_sec": round(n_triples / max(build_sec + validate_sec, 1e-9)),
+    }
+    return build_sec + validate_sec, stats
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    spark = get_spark(
+        app_name="nospa-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    cube_sec, cube_stats = bench_cube_validation(spark, sf)
+    timings["cube_build_validate"] = round(cube_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                "cube": cube_stats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

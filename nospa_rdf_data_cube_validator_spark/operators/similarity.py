@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against query vectors — the baseline.
+  Dot products run as zip_with/aggregate higher-order expressions inside
+  whole-stage codegen; the only shuffle is the final top-k (a window over
+  query id, or global sort for a single query).
+- ivf_topk: the scale path — a deterministic coarse quantizer (k-means-lite:
+  centroid per hash-assigned seed group, one refinement pass) partitions
+  vectors into nlist cells; queries probe the nprobe nearest cells only, so
+  the scan is |data| * nprobe / nlist instead of |data|. At 100 TB the cell
+  id becomes the partition key of the at-rest layout (partition pruning does
+  the probe selection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y),"
+    " cast(0.0 as double), (acc, x) -> acc + x)"
+)
+_NORM = "sqrt(aggregate({a}, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * x))"
+
+
+def cosine_col(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b)) / (
+        F.expr(_NORM.format(a=a)) * F.expr(_NORM.format(a=b))
+    )
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, vec_id, cosine, rank): exact top-k neighbors per query.
+
+    Queries are broadcast (query sets are small); ties break by vec_id so
+    results are deterministic across parallelism levels."""
+    joined = data.crossJoin(F.broadcast(queries.select(q_id_col, q_vec_col)))
+    scored = joined.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_col(vec_col, q_vec_col), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def assign_cells(
+    data: DataFrame, nlist: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer.
+
+    Seed assignment: cell = xxhash64(id) % nlist; centroids = per-cell mean;
+    one Lloyd refinement (reassign to nearest centroid). Deterministic, no
+    RNG, two shuffles total. Returns (assignments(id, cell), centroids(cell,
+    centroid))."""
+    seeded = data.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nlist)).alias("cell"),
+    )
+    dim_mean = (
+        seeded.select("cell", F.posexplode("vec").alias("i", "v"))
+        .groupBy("cell", "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+        .select("cell", F.expr("transform(im, x -> x.m)").alias("centroid"))
+    )
+    cents = F.broadcast(dim_mean)
+    # one refinement pass: reassign each vector to its nearest centroid
+    best = (
+        seeded.crossJoin(cents.withColumnRenamed("cell", "c_cell"))
+        .withColumn("dist", -cosine_col("vec", "centroid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "c_cell")),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("c_cell").alias("cell"))
+    )
+    final_cents = (
+        best.join(seeded.select("vec_id", "vec"), "vec_id")
+        .select("cell", F.posexplode("vec").alias("i", "v"))
+        .groupBy("cell", "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+        .select("cell", F.expr("transform(im, x -> x.m)").alias("centroid"))
+    )
+    return best, final_cents
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest cells per query."""
+    assign, cents = assign_cells(data, nlist, vec_col, id_col)
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine_col(q_vec_col, "centroid"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy(q_id_col).orderBy(F.desc("sim"), "cell"))
+        )
+        .where(F.col("rn") <= nprobe)
+        .select(q_id_col, q_vec_col, "cell")
+    )
+    cand = data.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).join(assign, "vec_id").join(F.broadcast(probes), "cell")
+    scored = cand.select(
+        F.col(q_id_col).alias("q_id"),
+        "vec_id",
+        F.round(cosine_col("vec", q_vec_col), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -61,6 +61,9 @@ def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
        the 21 ICs then validate,
     3. the cube schema (DSD/components/dimension declarations), emitted once.
     """
+    # The union below reads `canonical` once per branch; without a persist
+    # the whole upstream extraction DAG would re-execute ~8x.
+    canonical = canonical.persist()
     kg_edges = canonical.select(
         F.col("subj_entity").alias("subj"),
         F.concat(F.lit(E.PRED_NS), F.col("rel")).alias("pred"),

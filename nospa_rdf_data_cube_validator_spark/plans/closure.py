@@ -72,3 +72,44 @@ def reachable_pairs(
 ) -> DataFrame:
     """Alias with the argument names the validators use (roots == seeds)."""
     return transitive_closure(roots, edges, edge_tags=edge_tags, max_iter=max_iter)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Undirected connected components by iterative min-label propagation.
+
+    edges: (src, dst) pairs. Returns (node, component) where component is the
+    minimum node id in the component. Used to canonicalize duplicate groups
+    (minhash/simhash candidate pairs -> dedup clusters). Converges in
+    O(log(diameter)) rounds for typical near-dup clusters (tiny diameters);
+    each round is one groupBy-min shuffle keyed by node — scales linearly in
+    |edges| and is safe at 100 TB candidate-pair volumes.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
+        .select("node", "component")
+    )
+    labels = labels.withColumn("component", F.least("node", "component"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # propagate: new label of node = min(own label, labels of neighbors)
+        neighbor = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor, "node", "left")
+            .withColumn("new_comp", F.least("component", F.coalesce("n_comp", "component")))
+        )
+        changed = updated.where(F.col("new_comp") != F.col("component")).isEmpty()
+        labels = updated.select("node", F.col("new_comp").alias("component")).localCheckpoint(
+            eager=True
+        )
+        if changed:
+            break
+    return labels
