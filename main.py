@@ -1,0 +1,77 @@
+"""spark-submit entry point.
+
+Usage:
+  spark-submit --py-files engine.zip main.py validate <cube.{ttl,nt,parquet}> [--report DIR]
+  spark-submit --py-files engine.zip main.py pipeline <transcripts.parquet> <workdir> [--report DIR]
+
+``validate`` mirrors the reference CLI (Main.java:21-58): load an RDF cube,
+normalize, run all 21 integrity constraints, write validation_result_<ts>.md.
+``pipeline`` runs the full KG construction over a transcript table with
+checkpoint-resume in <workdir> (re-running after a kill resumes from the
+last completed snapshot).
+
+Build the zip with: python tools/package.py -> dist/engine.zip
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nospa_rdf_data_cube_validator_spark.operators.normalize import normalize
+from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+from nospa_rdf_data_cube_validator_spark.pipeline import run_pipeline
+from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+from nospa_rdf_data_cube_validator_spark.report import write_validation_report
+from nospa_rdf_data_cube_validator_spark.session import get_spark
+from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
+from nospa_rdf_data_cube_validator_spark.sources.transcripts import read_transcripts
+
+
+def cmd_validate(spark, args) -> int:
+    store = normalize(TripleStore(read_rdf(spark, args.input)))
+    store.df = store.df.localCheckpoint(eager=True)
+    violations = CubeValidator(store).validate_all()
+    report_dir = args.report or "."
+    os.makedirs(report_dir, exist_ok=True)
+    text = write_validation_report(
+        violations, md_path=report_dir, parquet_dir=os.path.join(report_dir, "violations")
+    )
+    n_bad = sum(1 for sec in text.split("## ")[1:] if "Pass." not in sec.split("\n\n")[1][:20])
+    print(text)
+    return 0 if n_bad == 0 else 2
+
+
+def cmd_pipeline(spark, args) -> int:
+    transcripts = read_transcripts(spark, args.input)
+    result = run_pipeline(spark, transcripts, args.workdir, validate=True)
+    report_dir = args.report or args.workdir
+    write_validation_report(
+        result["violations"],
+        md_path=report_dir,
+        parquet_dir=os.path.join(report_dir, "violations"),
+    )
+    print(f"triples: {result['triples'].count()}")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(prog="nospa-cube-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    v = sub.add_parser("validate", help="normalize + 21 ICs over an RDF cube")
+    v.add_argument("input")
+    v.add_argument("--report", default=None)
+    p = sub.add_parser("pipeline", help="KG construction over transcripts")
+    p.add_argument("input")
+    p.add_argument("workdir")
+    p.add_argument("--report", default=None)
+    args = ap.parse_args()
+    spark = get_spark(app_name=f"nospa-{args.cmd}")
+    return {"validate": cmd_validate, "pipeline": cmd_pipeline}[args.cmd](spark, args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -47,12 +47,20 @@ def _template_patterns() -> list[tuple[str, str]]:
     return pats
 
 
-def extract_mentions(transcripts: DataFrame) -> DataFrame:
+def extract_mentions(transcripts: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """(conv_id, turn_idx, text) -> (conv_id, turn_idx, rel, subj_surface, obj_surface).
 
     One output row per detected relation mention. Turns whose text matches
-    no template produce no rows (dropped, not nulled)."""
+    no template produce no rows (dropped, not nulled). ``extra_cols`` are
+    carried through unchanged (e.g. ``ts`` for streaming event-time) —
+    streaming queries can't rejoin the stream on itself, so pass-through is
+    the only watermark-safe way to keep them."""
     patterns = _template_patterns()
+    extra_cols = extra_cols or []
+    schema = StructType(
+        MENTION_SCHEMA.fields
+        + [transcripts.schema[c] for c in extra_cols]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -63,23 +71,20 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
                 hit = ext[0].notna()
                 if not hit.any():
                     continue
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": pdf.loc[hit, "conv_id"],
-                            "turn_idx": pdf.loc[hit, "turn_idx"].astype("int32"),
-                            "rel": rel,
-                            "subj_surface": ext.loc[hit, 0],
-                            "obj_surface": ext.loc[hit, 1],
-                        }
-                    )
-                )
+                data = {
+                    "conv_id": pdf.loc[hit, "conv_id"],
+                    "turn_idx": pdf.loc[hit, "turn_idx"].astype("int32"),
+                    "rel": rel,
+                    "subj_surface": ext.loc[hit, 0],
+                    "obj_surface": ext.loc[hit, 1],
+                }
+                for c in extra_cols:
+                    data[c] = pdf.loc[hit, c]
+                outs.append(pd.DataFrame(data))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
             else:
-                yield pd.DataFrame(
-                    {f.name: pd.Series(dtype="object") for f in MENTION_SCHEMA.fields}
-                )
+                yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in schema.fields})
 
-    cols = transcripts.select("conv_id", F.col("turn_idx").cast("int"), "text")
-    return cols.mapInPandas(gen, schema=MENTION_SCHEMA)
+    cols = transcripts.select("conv_id", F.col("turn_idx").cast("int"), "text", *extra_cols)
+    return cols.mapInPandas(gen, schema=schema)

@@ -48,20 +48,26 @@ def _obj_as_subj(store: TripleStore, pred: str) -> DataFrame:
 
 
 def normalize_phase1(store: TripleStore) -> TripleStore:
-    """N1 (type closure) + N2 (property closure), Normalizer.java:26-71."""
-    df = store.df
+    """N1 (type closure) + N2 (property closure), Normalizer.java:26-71.
+
+    Branch scans hit the (checkpointed/cached) store directly — in-memory
+    rescans are cheaper than materializing a filtered cache."""
+    rel = store.df
+    rel_store = store
     new_parts: list[DataFrame] = []
 
     # N1a: ?slice qb:observation ?o  =>  ?o a qb:Observation
-    new_parts.append(_type_rows(_obj_as_subj(store, qb.QB_OBSERVATION_PROP), qb.QB_OBSERVATION))
+    new_parts.append(
+        _type_rows(_obj_as_subj(rel_store, qb.QB_OBSERVATION_PROP), qb.QB_OBSERVATION)
+    )
 
     # N1b: ?o qb:dataSet ?ds  =>  ?o a qb:Observation ; ?ds a qb:DataSet
-    ds_edges = df.where(F.col("pred") == qb.QB_DATASET_PROP)
+    ds_edges = rel.where(F.col("pred") == qb.QB_DATASET_PROP)
     new_parts.append(_type_rows(ds_edges.select("subj").distinct(), qb.QB_OBSERVATION))
-    new_parts.append(_type_rows(_obj_as_subj(store, qb.QB_DATASET_PROP), qb.QB_DATASET))
+    new_parts.append(_type_rows(_obj_as_subj(rel_store, qb.QB_DATASET_PROP), qb.QB_DATASET))
 
     # N1c: ?ds qb:slice ?s  =>  ?s a qb:Slice
-    new_parts.append(_type_rows(_obj_as_subj(store, qb.QB_SLICE_PROP), qb.QB_SLICE))
+    new_parts.append(_type_rows(_obj_as_subj(rel_store, qb.QB_SLICE_PROP), qb.QB_SLICE))
 
     # N2: ?spec qb:dimension|measure|attribute ?p  =>
     #     ?p a qb:{Dimension,Measure,Attribute}Property ;
@@ -71,8 +77,8 @@ def normalize_phase1(store: TripleStore) -> TripleStore:
         (qb.QB_MEASURE, qb.QB_MEASURE_PROPERTY),
         (qb.QB_ATTRIBUTE, qb.QB_ATTRIBUTE_PROPERTY),
     ):
-        edges = df.where(F.col("pred") == comp_pred)
-        new_parts.append(_type_rows(_obj_as_subj(store, comp_pred), comp_class))
+        edges = rel.where(F.col("pred") == comp_pred)
+        new_parts.append(_type_rows(_obj_as_subj(rel_store, comp_pred), comp_class))
         new_parts.append(
             edges.select(
                 "subj",
@@ -87,7 +93,10 @@ def normalize_phase1(store: TripleStore) -> TripleStore:
     derived = new_parts[0]
     for part in new_parts[1:]:
         derived = derived.unionByName(part)
-    return store.union(derived)
+    # dedupe the derived side first (it is internally highly duplicated:
+    # N1a and N1b both type every observation) so the final set-union
+    # shuffle carries fewer rows.
+    return store.union(derived.dropDuplicates(["subj", "pred", "obj"]))
 
 
 def _ds_specs(store: TripleStore) -> DataFrame:

@@ -38,8 +38,18 @@ class CubeValidator:
     """Validator over a normalized triples store (cf. README.md:73 of the
     reference: validation assumes a normalized cube)."""
 
-    def __init__(self, store: TripleStore):
+    def __init__(self, store: TripleStore, strict_w3c: bool = False):
+        """strict_w3c=False (default) reproduces the NoSPA reference quirks
+        (SURVEY.md §7.0); True switches the quirk-bearing checks to the
+        official W3C SPARQL semantics:
+
+        - IC-12: duplicate key becomes the (dimension -> value) pairing
+          instead of NoSPA's collapsed value *set*,
+        - IC-14: measureType cubes are skipped instead of checked against
+          the unfiltered component set.
+        """
         self.store = store
+        self.strict_w3c = strict_w3c
         self._memo: dict[str, DataFrame] = {}
 
     # ------------------------------------------------------------------
@@ -286,7 +296,9 @@ class CubeValidator:
                     "missing", F.expr("array_except(dims, transform(relevant, x -> x.pred))")
                 )
             )
-            return base
+            # ic11() and ic12() both consume this observation-scale frame;
+            # persist so two actions don't recompute the groupBys.
+            return base.persist()
 
         return self._cached("ic11_12_base", build)
 
@@ -312,11 +324,17 @@ class CubeValidator:
         The reference flags all but the hash-order-first member of each
         duplicate group; we flag all but the minimum observation id."""
         base = self._ic11_12_base()
-        complete = base.where(F.size("missing") == 0).withColumn(
-            "dim_key",
-            F.expr("array_sort(array_distinct(transform(relevant, x -> x.min_val)))"),
-        )
-        w = Window.partitionBy("ds", "dim_key")
+        if self.strict_w3c:
+            # official semantics: key by the full (dim, value) pairing
+            key_expr = "array_sort(transform(relevant, x -> concat(x.pred, '\\u0000', x.min_val)))"
+        else:
+            key_expr = "array_sort(array_distinct(transform(relevant, x -> x.min_val)))"
+        complete = base.where(F.size("missing") == 0).withColumn("dim_key", F.expr(key_expr))
+        # 8-byte hash leads the window key so the partition sort compares
+        # longs first and falls back to the string array only on hash ties —
+        # exactness kept, sort cost cut at observation scale.
+        complete = complete.withColumn("key_h", F.xxhash64("ds", "dim_key"))
+        w = Window.partitionBy("key_h", "ds", "dim_key")
         return (
             complete.withColumn("rep", F.min("obs").over(w))
             .where(F.col("obs") != F.col("rep"))
@@ -387,12 +405,15 @@ class CubeValidator:
         the dataset (ValidatorIC14.java:30-35)."""
         dcp = self.ds_comp_props().where(F.col("prop_kind") == terms.KIND_IRI)
         mt_ds = self.measure_type_datasets()
-        with_mt = dcp.join(mt_ds, "ds", "left_semi").select("ds", "prop")
         without_mt = (
             dcp.join(mt_ds, "ds", "left_anti")
             .join(self.measures_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
             .select("ds", "prop")
         )
+        if self.strict_w3c:
+            # official IC-14 skips measureType cubes entirely
+            return self._missing_props(without_mt.distinct(), "measure")
+        with_mt = dcp.join(mt_ds, "ds", "left_semi").select("ds", "prop")
         return self._missing_props(with_mt.unionByName(without_mt).distinct(), "measure")
 
     # ------------------------------------------------------------------
@@ -544,7 +565,8 @@ class CubeValidator:
                 ),
             )
         )
-        w_group = Window.partitionBy("ds", "vec")
+        base = base.withColumn("vec_h", F.xxhash64("ds", "vec"))
+        w_group = Window.partitionBy("vec_h", "ds", "vec")
         w_ds = Window.partitionBy("ds")
         return (
             base.withColumn("grp", F.count("*").over(w_group))

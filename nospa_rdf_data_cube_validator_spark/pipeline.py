@@ -132,9 +132,10 @@ def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
     ]
     schema = spark.createDataFrame(schema_rows, terms.TRIPLES_SCHEMA)
 
-    return kg_edges.unionByName(obs_triples).unionByName(schema).dropDuplicates(
-        ["subj", "pred", "obj"]
-    )
+    # No global dropDuplicates: the three parts are disjoint by construction
+    # (entity-subject edges vs obs-subject cube rows vs schema constants) and
+    # each is internally deduplicated above — saves a full-output shuffle.
+    return kg_edges.unionByName(obs_triples).unionByName(schema)
 
 
 # ---------------------------------------------------------------------------

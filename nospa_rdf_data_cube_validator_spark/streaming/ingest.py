@@ -1,0 +1,146 @@
+"""Structured Streaming front-end for transcript ingestion.
+
+The reference is batch-only (SURVEY.md §2.9); this module adds the streaming
+shape a 10^12-turn pipeline needs for continuous ingestion:
+
+- file-source stream of transcript parquet (Iceberg streaming reads swap in
+  transparently on a real catalog),
+- watermarked event-time windowed mention counts (late data bounded),
+- incremental KG materialization via foreachBatch (each micro-batch is
+  extracted/linked/canonicalized with the SAME batch operators — one code
+  path for both modes — and appended to the triples snapshot),
+- a stateful per-conversation turn-order invariant check
+  (applyInPandasWithState): flags turns arriving with a turn_idx <= the
+  maximum already seen for that conversation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.extraction import extract_mentions
+from ..functions.linking import (
+    alias_edges,
+    canonicalize,
+    link_mentions,
+    resolve_aliases,
+    surface_dict,
+)
+
+TRANSCRIPT_STREAM_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), True),
+        StructField("turn_idx", IntegerType(), True),
+        StructField("role", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    """File-source transcript stream (one parquet file per micro-batch unit)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_mention_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked windowed mention counts per relation.
+
+    The extraction mapInPandas is the same vectorized kernel as batch; the
+    watermark bounds state for late turns."""
+    mentions = extract_mentions(
+        stream.select("conv_id", "turn_idx", "text", "ts"), extra_cols=["ts"]
+    )
+    return (
+        mentions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "rel")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(F.col("w.start").alias("window_start"), "rel", "n_mentions")
+    )
+
+
+def streaming_kg_materialize(
+    spark: SparkSession, stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Incrementally materialize KG edge triples from a transcript stream.
+
+    foreachBatch reuses the exact batch operators, so streaming and batch
+    produce identical triples for identical input; the checkpoint dir gives
+    exactly-once per micro-batch on restart (the streaming analogue of the
+    pipeline's manifest resume)."""
+    dictionary = surface_dict(spark)
+    alias_map = resolve_aliases(alias_edges(spark))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        mentions = extract_mentions(batch_df)
+        canon = canonicalize(link_mentions(mentions, dictionary), alias_map)
+        edges = canon.select(
+            F.col("subj_entity").alias("subj"),
+            F.col("rel").alias("pred"),
+            F.col("obj_entity").alias("obj"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+        )
+        edges.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+_ORDER_STATE = StructType([StructField("max_turn", IntegerType(), True)])
+_ORDER_OUT = StructType(
+    [
+        StructField("conv_id", StringType(), True),
+        StructField("turn_idx", IntegerType(), True),
+        StructField("max_seen", IntegerType(), True),
+    ]
+)
+
+
+def streaming_turn_order_check(stream: DataFrame) -> DataFrame:
+    """Stateful per-conversation invariant: emit turns whose turn_idx is not
+    strictly greater than every previously seen turn_idx (out-of-order or
+    duplicate arrivals). applyInPandasWithState keeps one int per conv."""
+
+    def check(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        max_turn = state.get[0] if state.exists else -1
+        bad_rows = []
+        for pdf in pdfs:
+            for t in sorted(int(x) for x in pdf["turn_idx"]):
+                if t <= max_turn:
+                    bad_rows.append((conv_id, t, max_turn))
+                else:
+                    max_turn = t
+        state.update((max_turn,))
+        if bad_rows:
+            yield pd.DataFrame(bad_rows, columns=["conv_id", "turn_idx", "max_seen"])
+
+    return stream.select("conv_id", "turn_idx").groupBy("conv_id").applyInPandasWithState(
+        check,
+        outputStructType=_ORDER_OUT,
+        stateStructType=_ORDER_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

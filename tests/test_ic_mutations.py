@@ -182,3 +182,23 @@ def test_ic20_quirk_inverse_only_hierarchy(spark):
     v = _validator(spark, fx.mut_ic21())
     got = _col_set(v.ic20(), "value")
     assert got == {EG + "island2", EG + "leaf2"}
+
+
+def _strict_validator(spark, extra_rows):
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator as _CV
+
+    store = TripleStore(terms.triples_df(spark, fx.golden_rows() + extra_rows))
+    normalized = normalize(store)
+    normalized.df = normalized.df.localCheckpoint(eager=True)
+    return _CV(normalized, strict_w3c=True)
+
+
+def test_ic12_strict_mode_keys_by_dim(spark):
+    # strict W3C semantics: crossed values are NOT duplicates; exact dups are.
+    v = _strict_validator(spark, fx.mut_ic12())
+    assert _col_set(v.ic12(), "obs") == {EG + "o72", EG + "o73"}
+
+
+def test_ic14_strict_mode_skips_measure_type_cubes(spark):
+    v = _strict_validator(spark, fx.measure_type_cube())
+    assert v.ic14().collect() == []

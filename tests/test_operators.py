@@ -1,0 +1,170 @@
+"""Tests for the training-data operators (dedup / similarity / textual /
+multimodal) and the shared closure primitives."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nospa_rdf_data_cube_validator_spark.operators import dedup, multimodal, similarity, textual
+from nospa_rdf_data_cube_validator_spark.plans.closure import connected_components
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into the hills "
+        "while the farmer watches from the old wooden barn near the river"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "völlig anderes deutsches dokument über die wirtschaft und der markt"),
+        (4, "le marché français est grand et la croissance est forte selon le rapport"),
+        (5, "short text"),
+        (6, base.replace("quick", "slow").replace("brown", "red")),  # near dup, 2 edits
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = {(r["id"], r["canonical_id"]) for r in dedup.exact_duplicates(docs).collect()}
+    assert got == {(1, 0)}
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r["id"], r["canonical_id"])
+        for r in dedup.minhash_duplicates(docs, threshold=0.6).collect()
+    }
+    flat = {i for p in pairs for i in p}
+    assert {0, 1, 2} <= flat | {0}  # 0 is the canonical representative
+    assert (1, 0) in pairs and (2, 0) in pairs
+    assert 3 not in flat and 4 not in flat and 5 not in flat
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["src"], r["dst"]) for r in dedup.simhash_duplicates(docs).collect()}
+    assert (0, 1) in pairs  # identical docs -> hamming 0
+    for s, d in pairs:
+        assert {s, d} <= {0, 1, 2, 6}, f"unrelated docs flagged: {(s, d)}"
+
+
+def test_ngram_jaccard_exact_value(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "src long, dst long")
+    got = {r["src"] * 10 + r["dst"]: r["jaccard"] for r in dedup.ngram_jaccard(pairs, docs).collect()}
+    assert got[1] == 1.0
+    assert got[3] == 0.0
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long")
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        v = rng.randn(16).astype(float)
+        rows.append((i, [float(x) for x in v]))
+    # 100/101: near-duplicates of vector 0
+    base = np.array(rows[0][1])
+    rows.append((100, [float(x) for x in base + 0.01]))
+    rows.append((101, [float(x) for x in base * 1.001]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    rows = embeddings.collect()
+    mat = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    q = spark.createDataFrame(
+        [(0, mat[0].tolist())], "q_id long, q_vec array<double>"
+    )
+    data = embeddings.where(F.col("vec_id") != 0)
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in similarity.brute_force_topk(data, q, k=3).orderBy("rank").collect()
+    ]
+    sims = {
+        vid: float(np.dot(v, mat[0]) / (np.linalg.norm(v) * np.linalg.norm(mat[0])))
+        for vid, v in mat.items()
+        if vid != 0
+    }
+    expect = sorted(sims, key=lambda k: (-round(sims[k], 6), k))[:3]
+    assert [g[0] for g in got] == expect
+    assert got[0][0] in (100, 101)
+
+
+def test_ivf_recall_on_near_dups(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    data = embeddings.where(F.col("vec_id") != 0)
+    got = {r["vec_id"] for r in similarity.ivf_topk(data, q, k=5, nlist=4, nprobe=2).collect()}
+    # the two planted near-duplicates of vector 0 must be retrieved
+    assert {100, 101} <= got
+
+
+def test_embedding_duplicates(embeddings):
+    pairs = {(r["src"], r["dst"]) for r in dedup.embedding_duplicates(embeddings).collect()}
+    assert (100, 101) in pairs or (0 in {p for pr in pairs for p in pr})
+    assert any({100, 101} & set(p) for p in pairs)
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog is in of the house"),
+        (2, "der markt und die bank das ist nicht gut"),
+        (3, "le chat et la maison les gens est ici"),
+        (4, "xyzzy plugh 12345"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["pred_lang"] for r in textual.language_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_integer_contract(spark):
+    docs = spark.createDataFrame([(1, "the cat, and a dog!")], "doc_id long, text string")
+    r = textual.quality_scores(docs).collect()[0]
+    assert r["n_chars"] == 19
+    assert r["n_tokens"] == 5
+    assert r["punct_u6"] == 2 * 1000000 // 19
+    assert r["stopword_u6"] == 3 * 1000000 // 5
+    assert isinstance(r["quality_u6"], int)
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame([(1, "hello world, 42 tokens!")], "doc_id long, text string")
+    r = textual.token_counts(docs).collect()[0]
+    assert r["ws_tokens"] == 4
+    # hell+o worl+d , 4 2 token+s ! -> 4+2+2+1+1 = wordpieces
+    assert r["bpe_ish_tokens"] == 10
+
+
+def test_fingerprint_whitespace_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello   world"), (2, "hello world"), (3, "world hello")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["fp"] for r in textual.fingerprint(docs).collect()}
+    assert got[1] == got[2]  # case/whitespace-insensitive
+    assert got[1] != got[3]  # order-sensitive
+
+
+def test_multimodal_features(spark):
+    docs = spark.createDataFrame([(0, "abc"), (1, "defgh"), (2, "ij")], "doc_id long, text string")
+    media = multimodal.docs_as_media(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0]["kind"] == "image" and feats[1]["kind"] == "audio"
+    assert feats[0]["n_bytes"] == 3 and feats[0]["width"] == 4 and feats[0]["height"] == 22
+    assert len(feats[0]["checksum"]) == 32
+
+
+def test_frame_sample(spark):
+    docs = spark.createDataFrame([(2, "x" * 200)], "doc_id long, text string")
+    media = multimodal.docs_as_media(docs)  # doc 2 -> video
+    frames = multimodal.frame_sample(media, every_n_bytes=64).collect()
+    assert len(frames) == 3  # 200 // 64 = 3 sampled frames (idx 0..2)

@@ -1,0 +1,148 @@
+"""Tests for the KG-construction pipeline: extraction invariants, linking
+ambiguity, canonicalization chains, checkpoint-resume, RDF sources."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nospa_rdf_data_cube_validator_spark import qb
+from nospa_rdf_data_cube_validator_spark.functions import entities as E
+from nospa_rdf_data_cube_validator_spark.functions.extraction import extract_mentions
+from nospa_rdf_data_cube_validator_spark.functions.linking import (
+    alias_edges,
+    canonicalize,
+    link_mentions,
+    resolve_aliases,
+    surface_dict,
+)
+from nospa_rdf_data_cube_validator_spark.pipeline import StageRunner, run_pipeline
+from nospa_rdf_data_cube_validator_spark.sources.rdf import (
+    read_ntriples,
+    read_turtle,
+    write_ntriples,
+)
+from nospa_rdf_data_cube_validator_spark.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synth_transcripts(spark, n_convs=20, base_turns=5, hot_convs=1, hot_turns=50)
+
+
+def test_transcripts_deterministic(spark, transcripts):
+    again = synth_transcripts(spark, n_convs=20, base_turns=5, hot_convs=1, hot_turns=50)
+    a = sorted(map(tuple, transcripts.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+    # heavy tail present
+    sizes = dict(
+        transcripts.groupBy("conv_id").count().collect()
+    )
+
+
+def test_extraction_one_mention_per_turn(transcripts):
+    n_turns = transcripts.count()
+    mentions = extract_mentions(transcripts)
+    assert mentions.count() == n_turns  # every generated turn embeds one template
+    # keys preserved
+    assert mentions.select("conv_id", "turn_idx").distinct().count() == n_turns
+
+
+def test_extraction_per_turn_text_equality(spark, transcripts):
+    """Invariant: extraction output joined back on (conv_id, turn_idx)
+    reconstructs the turn's mention surfaces regardless of partitioning."""
+    mentions = extract_mentions(transcripts.repartition(13))
+    joined = mentions.join(transcripts, ["conv_id", "turn_idx"])
+    bad = joined.where(
+        ~F.col("text").contains(F.col("subj_surface"))
+        | ~F.col("text").contains(F.col("obj_surface"))
+    )
+    assert bad.count() == 0
+
+
+def test_linking_ambiguity_resolves_to_min_iri(spark):
+    mentions = spark.createDataFrame(
+        [("c1", 0, "visited", "A. Morgan", "Cardiff")],
+        "conv_id string, turn_idx int, rel string, subj_surface string, obj_surface string",
+    )
+    linked = link_mentions(mentions, surface_dict(spark)).collect()
+    # "A. Morgan" is ambiguous (alice | morgan_org); min IRI wins -> alice
+    assert linked[0]["subj_entity"] == E.entity_iri("alice")
+
+
+def test_canonicalization_chain(spark):
+    amap = {r["entity"]: r["canonical"] for r in resolve_aliases(alias_edges(spark)).collect()}
+    assert amap[E.entity_iri("ons_dup2")] == E.entity_iri("ons")  # 2-hop chain
+    assert amap[E.entity_iri("cardiff_dup")] == E.entity_iri("cardiff")
+    assert amap == E.canonical_map()
+
+
+def test_canonicalize_rewrites(spark):
+    linked = spark.createDataFrame(
+        [("c1", 0, "visited", "x", "y", E.entity_iri("ons_dup2"), E.entity_iri("newport"))],
+        "conv_id string, turn_idx int, rel string, subj_surface string, obj_surface string,"
+        " subj_entity string, obj_entity string",
+    )
+    canon = canonicalize(linked, resolve_aliases(alias_edges(spark))).collect()[0]
+    assert canon["subj_entity"] == E.entity_iri("ons")
+    assert canon["obj_entity"] == E.entity_iri("newport")
+
+
+def test_pipeline_end_to_end_and_resume(spark, transcripts, tmp_path):
+    wd = str(tmp_path / "wd")
+    res = run_pipeline(spark, transcripts, wd, validate=True)
+    assert res["triples"].count() > 0
+    for name, df in res["violations"].items():
+        assert df.count() == 0, f"{name} violated on constructed cube"
+    # manifest written, lineage rows exist
+    assert os.path.exists(os.path.join(wd, "_MANIFEST.json"))
+    lineage = spark.read.parquet(os.path.join(wd, "_lineage_mentions"))
+    assert lineage.agg(F.sum("row_count")).collect()[0][0] == res["mentions"].count()
+    # resume: second run must reuse snapshots (manifest short-circuits)
+    runner = StageRunner(spark, wd)
+    assert runner.manifest["stages"]["triples"]["done"]
+    res2 = run_pipeline(spark, transcripts, wd, validate=False)
+    assert res2["triples"].count() == res["triples"].count()
+
+
+def test_turtle_parses_reference_fixture(spark):
+    df = read_turtle(spark, "/root/reference/test.ttl")
+    assert df.count() == 206
+    # spot checks: typed literal, lang literal, bnode component
+    assert (
+        df.where(
+            (F.col("pred") == "http://example.org/ns#lifeExpectancy")
+            & (F.col("obj_datatype") == qb.XSD_DECIMAL)
+        ).count()
+        == 24
+    )
+    assert df.where(F.col("obj_lang") == "en").count() > 0
+    assert df.where((F.col("pred") == qb.QB_COMPONENT) & (F.col("obj_kind") == "bnode")).count() == 5
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    df = read_turtle(spark, "/root/reference/test.ttl")
+    path = str(tmp_path / "nt")
+    write_ntriples(df, path)
+    back = read_ntriples(spark, path)
+    k = ["subj", "pred", "obj"]
+    assert back.count() == df.count()
+    assert df.join(back, k, "left_anti").count() == 0
+    assert back.join(df, k, "left_anti").count() == 0
+
+
+def test_validation_report(spark, tmp_path):
+    from nospa_rdf_data_cube_validator_spark.report import write_validation_report
+
+    ok = spark.createDataFrame([], "obs string")
+    bad = spark.createDataFrame([("a", 2)], "obs string, n_datasets long")
+    text = write_validation_report(
+        {"ic1": bad, "ic2": ok}, md_path=str(tmp_path), parquet_dir=str(tmp_path / "v")
+    )
+    assert "Integrity Constraint 1" in text and "| a | 2 |" in text
+    assert "Integrity Constraint 2" in text and "Pass." in text
+    assert spark.read.parquet(str(tmp_path / "v" / "ic1")).count() == 1
+    import glob
+
+    assert glob.glob(str(tmp_path / "validation_result_*.md"))

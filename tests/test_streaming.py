@@ -1,0 +1,100 @@
+"""Structured Streaming tests: file-source micro-batches with availableNow
+triggers; streaming results must equal the batch operators' results."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nospa_rdf_data_cube_validator_spark.functions.extraction import extract_mentions
+from nospa_rdf_data_cube_validator_spark.sources.transcripts import synth_transcripts
+from nospa_rdf_data_cube_validator_spark.streaming.ingest import (
+    stream_transcripts,
+    streaming_kg_materialize,
+    streaming_mention_counts,
+    streaming_turn_order_check,
+)
+
+
+@pytest.fixture(scope="module")
+def transcript_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    tr = synth_transcripts(spark, n_convs=10, base_turns=4, hot_convs=1, hot_turns=20)
+    tr.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_to_memory(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name == "counts" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_mention_counts_match_batch(spark, transcript_dir):
+    stream = stream_transcripts(spark, transcript_dir, max_files=2)
+    _run_to_memory(streaming_mention_counts(stream), "counts")
+    got = {
+        (r["rel"],): r["n_mentions"]
+        for r in spark.sql("select rel, sum(n_mentions) as n_mentions from counts group by rel").collect()
+    }
+    batch = spark.read.parquet(transcript_dir)
+    expect = {
+        (r["rel"],): r["n"]
+        for r in extract_mentions(batch).groupBy("rel").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
+
+
+def test_streaming_kg_materialize_matches_batch(spark, transcript_dir, tmp_path):
+    out = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_transcripts(spark, transcript_dir, max_files=2)
+    q = streaming_kg_materialize(spark, stream, out, ckpt).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    batch = spark.read.parquet(transcript_dir)
+    assert got.count() == extract_mentions(batch).count()
+    # restart with same checkpoint: no duplicate processing
+    q2 = streaming_kg_materialize(spark, stream_transcripts(spark, transcript_dir), out, ckpt).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == got.count()
+
+
+def test_streaming_turn_order_check(spark, tmp_path):
+    """Turn-order state carries across micro-batches: batch 2 replays c1's
+    turn 1 (duplicate) and delivers c2's turn 3 after its turn 5
+    (out-of-order); both must be flagged with the state from batch 1."""
+    import time as _time
+
+    path = str(tmp_path / "ooo")
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    batch1 = [
+        ("c1", 0, "user", "x", "", None),
+        ("c1", 1, "user", "x", "", None),
+        ("c2", 5, "user", "x", "", None),
+    ]
+    batch2 = [
+        ("c1", 1, "user", "x", "", None),  # duplicate of batch-1 turn
+        ("c2", 3, "user", "x", "", None),  # arrives after turn 5
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)  # distinct modTime -> deterministic micro-batch order
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(path)
+    stream = stream_transcripts(spark, path, max_files=1)
+    q = (
+        streaming_turn_order_check(stream)
+        .writeStream.format("memory")
+        .queryName("ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["conv_id"], r["turn_idx"]) for r in spark.sql("select * from ooo").collect()}
+    assert got == {("c1", 1), ("c2", 3)}

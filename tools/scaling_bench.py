@@ -1,0 +1,124 @@
+"""Two-parallelism scaling evidence (north_rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors; evidenced here as local[8] vs
+local[32] per the driver note — no real cluster in this sandbox).
+
+Runs the IDENTICAL job (KG construction + IC-11/12 validation over the same
+deterministic transcript input, same shuffle-partition count) in two fresh
+JVMs differing only in master thread count, and reports throughput at both
+plus efficiency = (throughput@4N / throughput@N) / 4.
+
+Usage: python tools/scaling_bench.py [n_convs] -> prints JSON, updates BENCH.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from nospa_rdf_data_cube_validator_spark.session import get_spark
+from nospa_rdf_data_cube_validator_spark.sources.transcripts import synth_transcripts
+from nospa_rdf_data_cube_validator_spark.functions.extraction import extract_mentions
+from nospa_rdf_data_cube_validator_spark.functions.linking import (
+    alias_edges, canonicalize, link_mentions, resolve_aliases, surface_dict)
+from nospa_rdf_data_cube_validator_spark.pipeline import edges_to_graph
+from nospa_rdf_data_cube_validator_spark.operators.normalize import normalize
+from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+cores = int(sys.argv[1]); n_convs = int(sys.argv[2])
+# identical logical job at both parallelism levels: fixed shuffle partitions
+spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=64)
+tr = synth_transcripts(spark, n_convs=n_convs, base_turns=16, hot_convs=4, hot_turns=8000)
+tr = tr.localCheckpoint(eager=True)   # materialize input OUTSIDE the timed region
+n_turns = tr.count()
+
+t0 = time.time()
+mentions = extract_mentions(tr)
+linked = link_mentions(mentions, surface_dict(spark))
+canon = canonicalize(linked, resolve_aliases(alias_edges(spark)))
+triples = edges_to_graph(spark, canon)
+store = TripleStore(triples)
+store.df = store.df.localCheckpoint(eager=True)
+n_triples = store.df.count()
+normalized = normalize(store)
+normalized.df = normalized.df.localCheckpoint(eager=True)
+v = CubeValidator(normalized)
+n11 = v.ic11().count(); n12 = v.ic12().count()
+wall = time.time() - t0
+print(json.dumps({{"cores": cores, "n_turns": n_turns, "n_triples": n_triples,
+                  "ic11": n11, "ic12": n12, "wall_sec": round(wall, 2),
+                  "turns_per_sec": round(n_turns / wall, 1),
+                  "triples_per_sec": round(n_triples / wall, 1)}}))
+"""
+
+
+def run(cores: int, n_convs: int, repo: str) -> dict:
+    script = WORKER.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), str(n_convs)],
+        capture_output=True, text=True, timeout=3000,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker cores={cores} failed:\n{out.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 30000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_hi = n_lo * 4
+    # Interleave repeated runs and keep the fastest of each config: this box
+    # carries variable external load (observed loadavg 5-6 while idle), so
+    # single measurements mix tenant noise into the scaling signal.
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run(n_lo, n_convs, repo))
+        hi_runs.append(run(n_hi, n_convs, repo))
+    lo = min(lo_runs, key=lambda r: r["wall_sec"])
+    hi = min(hi_runs, key=lambda r: r["wall_sec"])
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4
+    result = {
+        "job": "kg_construct+ic11_12",
+        "n_convs": n_convs,
+        "all_walls": {"low": [r["wall_sec"] for r in lo_runs],
+                      "high": [r["wall_sec"] for r in hi_runs]},
+        "low": lo,
+        "high": hi,
+        "speedup": round(lo["wall_sec"] / hi["wall_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "efficiency >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(repo, "BENCH.md"), "w") as fh:
+        fh.write(
+            "# BENCH — scaling evidence (N vs 4N parallelism)\n\n"
+            "Identical job (KG construction: transcripts -> vectorized extraction ->\n"
+            "linking -> canonicalization -> cube materialize -> normalize -> IC-11/12)\n"
+            "on identical deterministic input, same shuffle-partition count (64);\n"
+            "only the local[] thread count differs — the sandbox stand-in for N vs 4N\n"
+            "executors per the driver note.\n\n"
+            "| config | turns | triples | wall (s) | turns/s | triples/s |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| local[{lo['cores']}] | {lo['n_turns']} | {lo['n_triples']} | {lo['wall_sec']} | {lo['turns_per_sec']} | {lo['triples_per_sec']} |\n"
+            f"| local[{hi['cores']}] | {hi['n_turns']} | {hi['n_triples']} | {hi['wall_sec']} | {hi['turns_per_sec']} | {hi['triples_per_sec']} |\n\n"
+            f"speedup (N -> 4N threads): **{result['speedup']}x**\n\n"
+            f"scaling efficiency = (throughput@4N / throughput@N) / 4 = **{result['scaling_efficiency']}**"
+            f" ({'PASS' if result['pass'] else 'FAIL'} vs the >= 0.8 criterion)\n\n"
+            f"Validation correctness at both levels: ic11={lo['ic11']}/{hi['ic11']},"
+            f" ic12={lo['ic12']}/{hi['ic12']} (identical, zero violations expected).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
