@@ -328,6 +328,117 @@ def q_events_stats(spark, sf_dir):
     )
 
 
+
+# --- the real CubeValidator under the DuckDB oracle gate --------------------
+LI = "http://example.org/li#"
+LI_DIMS = [LI + "dimPart", LI + "dimSupp", LI + "dimQty"]
+
+
+def _lineitem_cube(spark, sf_dir):
+    """Cube triples derived arithmetically from lineitem, with seeded
+    violations the oracle can reproduce: rows where
+    (l_orderkey*31 + l_linenumber) % 211 == 0 omit the supp dimension
+    (IC-11), rows with l_orderkey % 997 == 1 and l_linenumber == 1 carry a
+    second qb:dataSet (IC-1); duplicate (part, supp, qty) value-sets within
+    a dataset arise naturally (IC-12)."""
+    from nospa_rdf_data_cube_validator_spark import qb, terms
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata, so
+    # the observation identity is the full distinct dim tuple — both engines
+    # derive the same observation set.
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            F.floor(F.col("l_quantity")).cast("int").alias("l_qty"),
+        )
+        .distinct()
+    )
+    obs = F.concat(
+        F.lit(LI + "obs-"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("-"),
+        F.col("l_partkey").cast("string"),
+        F.lit("-"),
+        F.col("l_suppkey").cast("string"),
+        F.lit("-"),
+        F.col("l_qty").cast("string"),
+    )
+    ds = F.concat(F.lit(LI + "ds-"), (F.col("l_orderkey") % 7).cast("string"))
+    v_part = F.concat(F.lit("http://example.org/part#"), F.col("l_partkey").cast("string"))
+    v_supp = F.concat(F.lit("http://example.org/supp#"), F.col("l_suppkey").cast("string"))
+    v_qty = F.concat(F.lit("http://example.org/qty#"), F.col("l_qty").cast("string"))
+    miss_supp = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 211 == 0
+    extra_ds = (F.col("l_orderkey") % 997 == 1) & (F.col("l_linenumber") == 1)
+
+    def t(pred, obj_col):
+        return F.struct(
+            obs.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj_col.alias("obj"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
+    arr = F.array_compact(
+        F.array(
+            t(qb.RDF_TYPE, F.lit(qb.QB_OBSERVATION)),
+            t(qb.QB_DATASET_PROP, ds),
+            t(LI_DIMS[0], v_part),
+            F.when(~miss_supp, t(LI_DIMS[1], v_supp)),
+            t(LI_DIMS[2], v_qty),
+            F.when(extra_ds, t(qb.QB_DATASET_PROP, F.lit(LI + "ds-extra"))),
+        )
+    )
+    data = l.select(F.explode(arr).alias("t")).select("t.*")
+
+    schema_rows = []
+    for k in range(7):
+        dsk, dsdk = f"{LI}ds-{k}", f"{LI}dsd-{k}"
+        schema_rows.append(terms.iri_row(dsk, qb.QB_STRUCTURE, dsdk))
+        for i, dim in enumerate(LI_DIMS):
+            spec = f"_:li-{k}-{i}"
+            schema_rows.append(terms.bnode_row(dsdk, qb.QB_COMPONENT, spec))
+            schema_rows.append(terms.iri_row(spec, qb.QB_COMPONENT_PROPERTY, dim))
+    for dim in LI_DIMS:
+        schema_rows.append(terms.iri_row(dim, qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY))
+    schema = spark.createDataFrame(schema_rows, terms.TRIPLES_SCHEMA)
+    return data.unionByName(schema)
+
+
+def q_cube_ic1(spark, sf_dir):
+    """CubeValidator.ic1 (exactly-one dataSet) over the lineitem cube."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    return CubeValidator(TripleStore(_lineitem_cube(spark, sf_dir))).ic1().select(
+        "obs", "n_datasets"
+    )
+
+
+def q_cube_ic11(spark, sf_dir):
+    """CubeValidator.ic11 (missing dimensions) over the lineitem cube."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    return CubeValidator(TripleStore(_lineitem_cube(spark, sf_dir))).ic11()
+
+
+def q_cube_ic12(spark, sf_dir):
+    """CubeValidator.ic12 (duplicate observations, NoSPA value-set key) over
+    the lineitem cube."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    return CubeValidator(TripleStore(_lineitem_cube(spark, sf_dir))).ic12()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (extract -> link -> canonicalize) over
     transcripts derived from sf0.001 orders."""
@@ -362,6 +473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "multimodal": q_multimodal,
+        "cube_ic1": q_cube_ic1,
+        "cube_ic11": q_cube_ic11,
+        "cube_ic12": q_cube_ic12,
         "events_sessionize": q_events_sessionize,
         "events_latest": q_events_latest,
         "events_stats": q_events_stats,
@@ -457,6 +571,27 @@ def _mentions_sql_body() -> str:
             f"  FROM transcripts WHERE regexp_matches(text, {q})"
         )
     return "\nUNION ALL\n".join(branches)
+
+
+
+LI_CTE = """
+WITH li_base AS (
+  SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(FLOOR(l_quantity) AS INT) AS l_qty
+  FROM lineitem
+),
+li AS (
+  SELECT 'http://example.org/li#obs-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)
+           || '-' || CAST(l_qty AS VARCHAR) AS obs,
+         'http://example.org/li#ds-' || CAST(l_orderkey % 7 AS VARCHAR) AS ds,
+         'http://example.org/part#' || CAST(l_partkey AS VARCHAR) AS v_part,
+         CASE WHEN (l_orderkey * 31 + l_linenumber) % 211 = 0 THEN NULL
+              ELSE 'http://example.org/supp#' || CAST(l_suppkey AS VARCHAR) END AS v_supp,
+         'http://example.org/qty#' || CAST(l_qty AS VARCHAR) AS v_qty,
+         CASE WHEN l_orderkey % 997 = 1 AND l_linenumber = 1 THEN 1 ELSE 0 END AS extra_ds
+  FROM li_base
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -619,6 +754,28 @@ linked AS (
                    CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
                    md5(text) AS checksum
             FROM documents
+        """,
+        "cube_ic1": LI_CTE
+        + """
+            SELECT obs, 2 AS n_datasets FROM li WHERE extra_ds = 1
+        """,
+        "cube_ic11": LI_CTE
+        + """
+            SELECT obs, 'http://example.org/li#dimSupp' AS dim FROM li WHERE v_supp IS NULL
+        """,
+        "cube_ic12": LI_CTE
+        + """
+            , complete AS (
+              SELECT obs, ds,
+                     array_to_string(list_sort(list_distinct([v_part, v_supp, v_qty])), chr(1)) AS k
+              FROM li WHERE v_supp IS NOT NULL
+            ),
+            flagged AS (
+              SELECT obs, min(obs) OVER (PARTITION BY ds, k) AS m,
+                     count(*) OVER (PARTITION BY ds, k) AS c
+              FROM complete
+            )
+            SELECT obs FROM flagged WHERE c > 1 AND obs != m
         """,
         "events_sessionize": """
             SELECT user_id, sum(new_sess) AS n_sessions FROM (

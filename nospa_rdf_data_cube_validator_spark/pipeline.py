@@ -80,8 +80,8 @@ def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
         F.concat(F.lit(E.PRED_NS), F.col("rel")).alias("relation"),
     ).dropDuplicates(["obs"])
 
-    def triple(pred: str, obj_col, kind: str, dt: str | None = None) -> DataFrame:
-        return obs.select(
+    def t_struct(pred: str, obj_col, kind: str, dt: str | None = None) -> F.Column:
+        return F.struct(
             F.col("obs").alias("subj"),
             F.lit(pred).alias("pred"),
             obj_col.alias("obj"),
@@ -90,28 +90,27 @@ def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("obj_lang"),
         )
 
-    obs_triples = (
-        triple(qb.RDF_TYPE, F.lit(qb.QB_OBSERVATION), terms.KIND_IRI)
-        .unionByName(triple(qb.QB_DATASET_PROP, F.lit(DATASET), terms.KIND_IRI))
-        .unionByName(triple(DIM_CONV, F.col("conv"), terms.KIND_IRI))
-        .unionByName(
-            triple(
-                DIM_TURN,
-                F.concat(F.lit(f"literal:{XSD_INT}::"), F.col("turn")),
-                terms.KIND_LITERAL,
-                XSD_INT,
+    # one scan of the (persisted) observation frame fans out to all six cube
+    # rows via a single explode — no 6-branch union, no repeated cache reads.
+    obs_triples = obs.select(
+        F.explode(
+            F.array(
+                t_struct(qb.RDF_TYPE, F.lit(qb.QB_OBSERVATION), terms.KIND_IRI),
+                t_struct(qb.QB_DATASET_PROP, F.lit(DATASET), terms.KIND_IRI),
+                t_struct(DIM_CONV, F.col("conv"), terms.KIND_IRI),
+                t_struct(
+                    DIM_TURN,
+                    F.concat(F.lit(f"literal:{XSD_INT}::"), F.col("turn")),
+                    terms.KIND_LITERAL,
+                    XSD_INT,
+                ),
+                t_struct(DIM_REL, F.col("relation"), terms.KIND_IRI),
+                t_struct(
+                    MEAS_COUNT, F.lit(f"literal:{XSD_INT}::1"), terms.KIND_LITERAL, XSD_INT
+                ),
             )
-        )
-        .unionByName(triple(DIM_REL, F.col("relation"), terms.KIND_IRI))
-        .unionByName(
-            triple(
-                MEAS_COUNT,
-                F.lit(f"literal:{XSD_INT}::1"),
-                terms.KIND_LITERAL,
-                XSD_INT,
-            )
-        )
-    )
+        ).alias("t")
+    ).select("t.*")
 
     schema_rows = [
         terms.iri_row(DATASET, qb.RDF_TYPE, qb.QB_DATASET),
