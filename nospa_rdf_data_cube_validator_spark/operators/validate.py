@@ -277,20 +277,38 @@ class CubeValidator:
             all_dims = (
                 self.ds_dims_arr().select(F.explode("dims").alias("pred")).distinct()
             )
-            stats = self._obs_pred_stats(all_dims)
+            # The qb:dataSet edges ride through the same per-observation
+            # aggregation as the dimension values, so the whole base costs
+            # exactly two keyed shuffles ((obs, pred) with map-side partial
+            # aggregation, then obs) and no obs-scale join against a
+            # separate (obs, ds) table. The full dataSet value *set* is kept
+            # (an obs is checked once per dataset it belongs to, matching
+            # the reference's per-dataset iteration).
+            preds = all_dims.unionByName(
+                self.store.df.sparkSession.createDataFrame(
+                    [(qb.QB_DATASET_PROP,)], "pred string"
+                )
+            )
+            cand = self.store.df.join(F.broadcast(preds.distinct()), "pred", "left_semi")
+            stats = cand.groupBy(F.col("subj").alias("obs"), "pred").agg(
+                F.min("obj").alias("min_val"),
+                F.collect_set(
+                    F.when(F.col("pred") == qb.QB_DATASET_PROP, F.col("obj"))
+                ).alias("ds_vals"),
+            )
             per_obs = stats.groupBy("obs").agg(
-                F.collect_list(F.struct("pred", "min_val")).alias("pvs")
+                F.collect_list(F.struct("pred", "min_val")).alias("pvs_all"),
+                F.flatten(F.collect_list("ds_vals")).alias("ds_list"),
             )
             base = (
-                self.obs_ds()
-                .join(ds_dims_arr, "ds", "inner")
-                .join(per_obs, "obs", "left")
-                .withColumn(
-                    "pvs",
-                    F.coalesce(
-                        "pvs", F.expr("array()").cast("array<struct<pred:string,min_val:string>>")
-                    ),
+                per_obs.select(
+                    "obs",
+                    F.expr(
+                        f"filter(pvs_all, x -> x.pred != '{qb.QB_DATASET_PROP}')"
+                    ).alias("pvs"),
+                    F.explode("ds_list").alias("ds"),
                 )
+                .join(ds_dims_arr, "ds", "inner")
                 .withColumn("relevant", F.expr("filter(pvs, x -> array_contains(dims, x.pred))"))
                 .withColumn(
                     "missing", F.expr("array_except(dims, transform(relevant, x -> x.pred))")
