@@ -439,6 +439,29 @@ def q_cube_ic12(spark, sf_dir):
     return CubeValidator(TripleStore(_lineitem_cube(spark, sf_dir))).ic12()
 
 
+
+def q_events_window_agg(spark, sf_dir):
+    """Tumbling event-time window counts (the batch shape of the streaming
+    windowed aggregation): events per (5-minute bucket, type), bucket
+    reported as epoch seconds so both engines emit integers."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("bucket_s")
+    return ev.groupBy(bucket, "event_type").agg(F.count("*").alias("n"))
+
+
+def q_kg_turn_order(spark, sf_dir):
+    """Per-conversation turn ordering invariant via window lag: emit
+    (conv_id, turn_idx, prev_idx) for every non-initial turn; gaps and
+    ordering are fully deterministic from the generator arithmetic."""
+    tr = transcripts_from_orders(spark, sf_dir, N_CONVS)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        tr.select("conv_id", "turn_idx")
+        .withColumn("prev_idx", F.lag("turn_idx").over(w))
+        .where(F.col("prev_idx").isNotNull())
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (extract -> link -> canonicalize) over
     transcripts derived from sf0.001 orders."""
@@ -477,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_ic11": q_cube_ic11,
         "cube_ic12": q_cube_ic12,
         "events_sessionize": q_events_sessionize,
+        "events_window_agg": q_events_window_agg,
+        "kg_turn_order": q_kg_turn_order,
         "events_latest": q_events_latest,
         "events_stats": q_events_stats,
     }
@@ -788,6 +813,19 @@ linked AS (
                 FROM events
               )
             ) GROUP BY user_id
+        """,
+        "events_window_agg": """
+            SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "kg_turn_order": tr
+        + """
+            SELECT conv_id, turn_idx, prev_idx FROM (
+              SELECT conv_id, turn_idx,
+                     lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+              FROM transcripts
+            ) WHERE prev_idx IS NOT NULL
         """,
         "events_latest": """
             SELECT user_id, event_type, event_id FROM (

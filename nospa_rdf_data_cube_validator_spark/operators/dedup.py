@@ -62,20 +62,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<bigint>): per-doc MinHash signature.
 
-    h_j(doc) = min over shingles of xxhash64(shingle, j) — the per-function
-    seed rides as a second hashed column, so all 64 functions evaluate in one
-    codegen'd projection without Python."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.expr(f"transform(shingles, x -> xxhash64(x, {j}))")
-            )
-            for j in range(n_hashes)
-        ]
-    )
-    return docs.select(
-        F.col(id_col).alias("id"), _shingles(text_col, shingle).alias("shingles")
-    ).select("id", sig.alias("sig"))
+    Arrow-batched numpy kernel: shingles are hashed once with pandas'
+    stable 64-bit hash, then the n_hashes MinHash functions are universal
+    hashes h_j(x) = a_j * x + b_j over uint64 (odd deterministic a_j, no
+    RNG) minimized with one vectorized reduction — the
+    one-lambda-per-shingle-per-function Spark expression form is
+    interpreted per element and ~30x slower."""
+    import numpy as np
+    import pandas as pd
+
+    a = (2 * np.arange(1, n_hashes + 1, dtype=np.uint64) + 1) * np.uint64(0x9E3779B97F4A7C15)
+    b = np.arange(n_hashes, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf["_id"], pdf["_text"]):
+                s = text or ""
+                if len(s) < shingle:
+                    grams = [s]
+                else:
+                    grams = list({s[i : i + shingle] for i in range(len(s) - shingle + 1)})
+                h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
+                sig = (h[:, None] * a + b).min(axis=0).astype(np.int64)
+                ids.append(did)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    narrow = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return narrow.mapInPandas(gen, schema="id long, sig array<long>")
 
 
 def lsh_candidate_pairs(

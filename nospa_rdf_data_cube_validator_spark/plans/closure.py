@@ -74,7 +74,9 @@ def reachable_pairs(
     return transitive_closure(roots, edges, edge_tags=edge_tags, max_iter=max_iter)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 32, driver_threshold: int = 200_000
+) -> DataFrame:
     """Undirected connected components by iterative min-label propagation.
 
     edges: (src, dst) pairs. Returns (node, component) where component is the
@@ -83,7 +85,33 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     O(log(diameter)) rounds for typical near-dup clusters (tiny diameters);
     each round is one groupBy-min shuffle keyed by node — scales linearly in
     |edges| and is safe at 100 TB candidate-pair volumes.
+
+    Verified-duplicate edge sets are usually tiny relative to the corpus;
+    below ``driver_threshold`` edges a driver-side union-find replaces the
+    iterative loop (identical output, none of the per-round job overhead).
     """
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        rows = edges.select("src", "dst").collect()
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r["src"], r["dst"])}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        schema = edges.select(
+            F.col("src").alias("node"), F.col("src").alias("component")
+        ).schema
+        return edges.sparkSession.createDataFrame(out, schema)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -7,7 +7,7 @@ deterministic transcript input, same shuffle-partition count) in two fresh
 JVMs differing only in master thread count, and reports throughput at both
 plus efficiency = (throughput@4N / throughput@N) / 4.
 
-Usage: python tools/scaling_bench.py [n_convs] -> prints JSON, updates BENCH.md
+Usage: python tools/scaling_bench.py [n_convs] [N] [repeats] -> prints JSON, writes BENCH_SCALING.md
 """
 
 from __future__ import annotations
@@ -100,7 +100,7 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
-    with open(os.path.join(repo, "BENCH.md"), "w") as fh:
+    with open(os.path.join(repo, "BENCH_SCALING.md"), "w") as fh:
         fh.write(
             "# BENCH — scaling evidence (N vs 4N parallelism)\n\n"
             "Identical job (KG construction: transcripts -> vectorized extraction ->\n"
