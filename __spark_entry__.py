@@ -375,6 +375,8 @@ def _lineitem_cube(spark, sf_dir):
     v_qty = F.concat(F.lit("http://example.org/qty#"), F.col("l_qty").cast("string"))
     miss_supp = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 211 == 0
     extra_ds = (F.col("l_orderkey") % 997 == 1) & (F.col("l_linenumber") == 1)
+    miss_attr = (F.col("l_orderkey") * 17 + F.col("l_linenumber")) % 307 == 0
+    miss_meas = (F.col("l_orderkey") * 13 + F.col("l_linenumber")) % 401 == 0
 
     def t(pred, obj_col):
         return F.struct(
@@ -394,6 +396,8 @@ def _lineitem_cube(spark, sf_dir):
             F.when(~miss_supp, t(LI_DIMS[1], v_supp)),
             t(LI_DIMS[2], v_qty),
             F.when(extra_ds, t(qb.QB_DATASET_PROP, F.lit(LI + "ds-extra"))),
+            F.when(~miss_attr, t(LI + "attrCurrency", F.lit("http://example.org/cur#USD"))),
+            F.when(~miss_meas, t(LI + "price", F.concat(F.lit("http://example.org/p#"), F.col("l_qty").cast("string")))),
         )
     )
     data = l.select(F.explode(arr).alias("t")).select("t.*")
@@ -406,8 +410,21 @@ def _lineitem_cube(spark, sf_dir):
             spec = f"_:li-{k}-{i}"
             schema_rows.append(terms.bnode_row(dsdk, qb.QB_COMPONENT, spec))
             schema_rows.append(terms.iri_row(spec, qb.QB_COMPONENT_PROPERTY, dim))
+    for k in range(7):
+        dsdk = f"{LI}dsd-{k}"
+        # required attribute component + measure component per DSD
+        a_spec, m_spec = f"_:li-{k}-attr", f"_:li-{k}-meas"
+        schema_rows.append(terms.bnode_row(dsdk, qb.QB_COMPONENT, a_spec))
+        schema_rows.append(terms.iri_row(a_spec, qb.QB_COMPONENT_PROPERTY, LI + "attrCurrency"))
+        schema_rows.append(
+            terms.lit_row(a_spec, qb.QB_COMPONENT_REQUIRED, "true", datatype=qb.XSD_BOOLEAN)
+        )
+        schema_rows.append(terms.bnode_row(dsdk, qb.QB_COMPONENT, m_spec))
+        schema_rows.append(terms.iri_row(m_spec, qb.QB_COMPONENT_PROPERTY, LI + "price"))
     for dim in LI_DIMS:
         schema_rows.append(terms.iri_row(dim, qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY))
+    schema_rows.append(terms.iri_row(LI + "attrCurrency", qb.RDF_TYPE, qb.QB_ATTRIBUTE_PROPERTY))
+    schema_rows.append(terms.iri_row(LI + "price", qb.RDF_TYPE, qb.QB_MEASURE_PROPERTY))
     schema = spark.createDataFrame(schema_rows, terms.TRIPLES_SCHEMA)
     return data.unionByName(schema)
 
@@ -438,6 +455,107 @@ def q_cube_ic12(spark, sf_dir):
 
     return CubeValidator(TripleStore(_lineitem_cube(spark, sf_dir))).ic12()
 
+
+
+
+def q_cube_ic13(spark, sf_dir):
+    """CubeValidator.ic13 (required attributes) over the lineitem cube."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    return CubeValidator(TripleStore(_lineitem_cube(spark, sf_dir))).ic13()
+
+
+def q_cube_ic14(spark, sf_dir):
+    """CubeValidator.ic14 (all measures present) over the lineitem cube."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    return CubeValidator(TripleStore(_lineitem_cube(spark, sf_dir))).ic14()
+
+
+
+def _orders_mt_cube(spark, sf_dir):
+    """measureType cube from orders (o_orderkey is unique): dims = customer
+    + qb:measureType, two measures. Seeds: o_orderkey % 89 == 0 puts the
+    value on the WRONG measure (IC-15); o_orderkey % 97 == 0 carries two
+    qb:measureType values (IC-16); per-(ds, customer) group sizes != 2
+    violate IC-17 naturally."""
+    from nospa_rdf_data_cube_validator_spark import qb, terms
+
+    MT = "http://example.org/mt#"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    obs = F.concat(F.lit(MT + "obs-"), F.col("o_orderkey").cast("string"))
+    ds = F.concat(F.lit(MT + "ds-"), (F.col("o_orderkey") % 3).cast("string"))
+    cust = F.concat(F.lit("http://example.org/cust#"), F.col("o_custkey").cast("string"))
+    price_m, tax_m = MT + "priceM", MT + "taxM"
+    chosen = F.when(F.col("o_orderkey") % 2 == 0, F.lit(price_m)).otherwise(F.lit(tax_m))
+    other = F.when(F.col("o_orderkey") % 2 == 0, F.lit(tax_m)).otherwise(F.lit(price_m))
+    seed15 = F.col("o_orderkey") % 89 == 0
+    seed16 = F.col("o_orderkey") % 97 == 0
+    value_pred = F.when(seed15, other).otherwise(chosen)
+
+    def t(pred_col, obj_col):
+        return F.struct(
+            obs.alias("subj"),
+            pred_col.alias("pred"),
+            obj_col.alias("obj"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
+    arr = F.array_compact(
+        F.array(
+            t(F.lit(qb.RDF_TYPE), F.lit(qb.QB_OBSERVATION)),
+            t(F.lit(qb.QB_DATASET_PROP), ds),
+            t(F.lit(MT + "dimCust"), cust),
+            t(F.lit(qb.QB_MEASURE_TYPE), chosen),
+            F.when(seed16, t(F.lit(qb.QB_MEASURE_TYPE), other)),
+            t(value_pred, F.concat(F.lit("http://example.org/v#"), F.col("o_orderkey").cast("string"))),
+        )
+    )
+    data = o.select(F.explode(arr).alias("t")).select("t.*")
+
+    rows = []
+    for k in range(3):
+        dsk, dsdk = f"{MT}ds-{k}", f"{MT}dsd-{k}"
+        rows.append(terms.iri_row(dsk, qb.QB_STRUCTURE, dsdk))
+        for i, prop in enumerate([MT + "dimCust", qb.QB_MEASURE_TYPE, price_m, tax_m]):
+            spec = f"_:mt-{k}-{i}"
+            rows.append(terms.bnode_row(dsdk, qb.QB_COMPONENT, spec))
+            rows.append(terms.iri_row(spec, qb.QB_COMPONENT_PROPERTY, prop))
+    rows.append(terms.iri_row(MT + "dimCust", qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY))
+    rows.append(terms.iri_row(price_m, qb.RDF_TYPE, qb.QB_MEASURE_PROPERTY))
+    rows.append(terms.iri_row(tax_m, qb.RDF_TYPE, qb.QB_MEASURE_PROPERTY))
+    schema = spark.createDataFrame(rows, terms.TRIPLES_SCHEMA)
+    return data.unionByName(schema)
+
+
+def q_cube_ic15(spark, sf_dir):
+    """CubeValidator.ic15 over the orders measureType cube -> (obs, mt)."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    v = CubeValidator(TripleStore(_orders_mt_cube(spark, sf_dir)))
+    return v.ic15().select("obs", F.col("measure_types")[0].alias("mt"))
+
+
+def q_cube_ic16(spark, sf_dir):
+    """CubeValidator.ic16 over the orders measureType cube -> (obs, n_mt)."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    v = CubeValidator(TripleStore(_orders_mt_cube(spark, sf_dir)))
+    return v.ic16().select("obs", F.size("measure_types").alias("n_mt"))
+
+
+def q_cube_ic17(spark, sf_dir):
+    """CubeValidator.ic17 over the orders measureType cube -> (obs, n_unequal)."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    return CubeValidator(TripleStore(_orders_mt_cube(spark, sf_dir))).ic17()
 
 
 def q_events_window_agg(spark, sf_dir):
@@ -499,6 +617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_ic1": q_cube_ic1,
         "cube_ic11": q_cube_ic11,
         "cube_ic12": q_cube_ic12,
+        "cube_ic13": q_cube_ic13,
+        "cube_ic14": q_cube_ic14,
+        "cube_ic15": q_cube_ic15,
+        "cube_ic16": q_cube_ic16,
+        "cube_ic17": q_cube_ic17,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
         "kg_turn_order": q_kg_turn_order,
@@ -616,6 +739,20 @@ li AS (
          'http://example.org/qty#' || CAST(l_qty AS VARCHAR) AS v_qty,
          CASE WHEN l_orderkey % 997 = 1 AND l_linenumber = 1 THEN 1 ELSE 0 END AS extra_ds
   FROM li_base
+)"""
+
+
+
+MT_CTE = """
+WITH mt_base AS (
+  SELECT 'http://example.org/mt#obs-' || CAST(o_orderkey AS VARCHAR) AS obs,
+         'http://example.org/mt#ds-' || CAST(o_orderkey % 3 AS VARCHAR) AS ds,
+         'http://example.org/cust#' || CAST(o_custkey AS VARCHAR) AS cust,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'http://example.org/mt#priceM'
+              ELSE 'http://example.org/mt#taxM' END AS chosen,
+         CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END AS seed15,
+         CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS seed16
+  FROM orders
 )"""
 
 
@@ -788,6 +925,24 @@ linked AS (
         + """
             SELECT obs, 'http://example.org/li#dimSupp' AS dim FROM li WHERE v_supp IS NULL
         """,
+        "cube_ic13": LI_CTE
+        + """
+            SELECT obs, 'http://example.org/li#attrCurrency' AS attr
+            FROM li_base,
+                 LATERAL (SELECT 'http://example.org/li#obs-' || CAST(l_orderkey AS VARCHAR)
+                          || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
+                          || '-' || CAST(l_suppkey AS VARCHAR) || '-' || CAST(l_qty AS VARCHAR) AS obs)
+            WHERE (l_orderkey * 17 + l_linenumber) % 307 = 0
+        """,
+        "cube_ic14": LI_CTE
+        + """
+            SELECT obs, 'http://example.org/li#price' AS measure
+            FROM li_base,
+                 LATERAL (SELECT 'http://example.org/li#obs-' || CAST(l_orderkey AS VARCHAR)
+                          || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
+                          || '-' || CAST(l_suppkey AS VARCHAR) || '-' || CAST(l_qty AS VARCHAR) AS obs)
+            WHERE (l_orderkey * 13 + l_linenumber) % 401 = 0
+        """,
         "cube_ic12": LI_CTE
         + """
             , complete AS (
@@ -813,6 +968,22 @@ linked AS (
                 FROM events
               )
             ) GROUP BY user_id
+        """,
+        "cube_ic15": MT_CTE
+        + """
+            SELECT obs, chosen AS mt FROM mt_base WHERE seed15 = 1 AND seed16 = 0
+        """,
+        "cube_ic16": MT_CTE
+        + """
+            SELECT obs, 2 AS n_mt FROM mt_base WHERE seed16 = 1
+        """,
+        "cube_ic17": MT_CTE
+        + """
+            SELECT obs, tot - grp AS n_unequal FROM (
+              SELECT obs, count(*) OVER (PARTITION BY ds, cust) AS grp,
+                     count(*) OVER (PARTITION BY ds) AS tot
+              FROM mt_base
+            ) WHERE grp != 2
         """,
         "events_window_agg": """
             SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
