@@ -558,6 +558,126 @@ def q_cube_ic17(spark, sf_dir):
     return CubeValidator(TripleStore(_orders_mt_cube(spark, sf_dir))).ic17()
 
 
+
+def _geo_cube(spark, sf_dir):
+    """Code-list/hierarchy cube from region/nation/customer (IC-19/20/21).
+
+    One dataset over observations = customers, with two code-listed dims:
+    - dimNation (IC-19): ConceptScheme 'scheme-nations'; nations are typed
+      skos:Concept and skos:inScheme EXCEPT seeds (n_nationkey % 5 == 0),
+    - dimCust (IC-20/21): two HierarchicalCodeLists on the same dim —
+      hier-0 roots at region-0 with a DIRECT pcp (hasSub edges region ->
+      nation -> customer), hier-1 roots at region-1 with an INVERSE pcp
+      (partOf edges customer -> nation -> region). A customer value is
+      IC-20-reachable iff its region is 0 and IC-21-reachable iff 1.
+    """
+    from nospa_rdf_data_cube_validator_spark import qb, terms
+
+    G = "http://example.org/geo#"
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey")
+    cust = F.concat(F.lit(G + "cust-"), F.col("c_custkey").cast("string"))
+    nat_of_c = F.concat(F.lit(G + "nation-"), F.col("c_nationkey").cast("string"))
+    obs = F.concat(F.lit(G + "obs-"), F.col("c_custkey").cast("string"))
+
+    def t(pred, obj_col, subj_col=None):
+        return F.struct(
+            (subj_col if subj_col is not None else obs).alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj_col.alias("obj"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
+    obs_triples = c.select(
+        F.explode(
+            F.array(
+                t(qb.RDF_TYPE, F.lit(qb.QB_OBSERVATION)),
+                t(qb.QB_DATASET_PROP, F.lit(G + "ds")),
+                t(G + "dimNation", nat_of_c),
+                t(G + "dimCust", cust),
+            )
+        ).alias("t")
+    ).select("t.*")
+
+    nat = F.concat(F.lit(G + "nation-"), F.col("n_nationkey").cast("string"))
+    reg = F.concat(F.lit(G + "region-"), F.col("n_regionkey").cast("string"))
+    seeded = F.col("n_nationkey") % 5 == 0
+    nation_triples = n.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(~seeded, t(qb.RDF_TYPE, F.lit(qb.SKOS_CONCEPT), subj_col=nat)),
+                    F.when(~seeded, t(qb.SKOS_IN_SCHEME, F.lit(G + "scheme-nations"), subj_col=nat)),
+                    t(G + "hasSub", nat, subj_col=reg),       # direct edges region -> nation
+                    t(G + "partOf", reg, subj_col=nat),        # inverse edges nation -> region
+                )
+            )
+        ).alias("t")
+    ).select("t.*")
+    cust_edge_triples = c.select(
+        F.explode(
+            F.array(
+                t(G + "hasSub", cust, subj_col=nat_of_c),      # nation -> customer
+                t(G + "partOf", nat_of_c, subj_col=cust),      # customer -> nation
+                t(qb.RDF_TYPE, F.lit(qb.SKOS_CONCEPT), subj_col=cust),
+            )
+        ).alias("t")
+    ).select("t.*")
+
+    rows = [
+        terms.iri_row(G + "ds", qb.QB_STRUCTURE, G + "dsd"),
+        terms.iri_row(G + "scheme-nations", qb.RDF_TYPE, qb.SKOS_CONCEPT_SCHEME),
+        terms.iri_row(G + "dimNation", qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY),
+        terms.iri_row(G + "dimNation", qb.QB_CODE_LIST, G + "scheme-nations"),
+        terms.iri_row(G + "dimCust", qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY),
+        terms.iri_row(G + "dimCust", qb.QB_CODE_LIST, G + "hier-0"),
+        terms.iri_row(G + "dimCust", qb.QB_CODE_LIST, G + "hier-1"),
+        terms.iri_row(G + "hier-0", qb.RDF_TYPE, qb.QB_HIERARCHICAL_CODE_LIST),
+        terms.iri_row(G + "hier-0", qb.QB_HIERARCHY_ROOT, G + "region-0"),
+        terms.iri_row(G + "hier-0", qb.QB_PARENT_CHILD_PROPERTY, G + "hasSub"),
+        terms.iri_row(G + "hier-1", qb.RDF_TYPE, qb.QB_HIERARCHICAL_CODE_LIST),
+        terms.iri_row(G + "hier-1", qb.QB_HIERARCHY_ROOT, G + "region-1"),
+        terms.bnode_row(G + "hier-1", qb.QB_PARENT_CHILD_PROPERTY, "_:geo-inv"),
+        terms.iri_row("_:geo-inv", qb.OWL_INVERSE_OF, G + "partOf"),
+    ]
+    for i, dim in enumerate([G + "dimNation", G + "dimCust"]):
+        spec = f"_:geo-{i}"
+        rows.append(terms.bnode_row(G + "dsd", qb.QB_COMPONENT, spec))
+        rows.append(terms.iri_row(spec, qb.QB_COMPONENT_PROPERTY, dim))
+    schema = spark.createDataFrame(rows, terms.TRIPLES_SCHEMA)
+    return obs_triples.unionByName(nation_triples).unionByName(cust_edge_triples).unionByName(schema)
+
+
+def q_cube_ic19(spark, sf_dir):
+    """CubeValidator.ic19 (codes from code list) -> (value, cl)."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    v = CubeValidator(TripleStore(_geo_cube(spark, sf_dir)))
+    return v.ic19().select("value", F.col("code_lists")[0].alias("cl"))
+
+
+def q_cube_ic20(spark, sf_dir):
+    """CubeValidator.ic20 (direct hierarchy reachability) -> (value, n_lists)."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    v = CubeValidator(TripleStore(_geo_cube(spark, sf_dir)))
+    return v.ic20().select("value", F.size("code_lists").alias("n_lists"))
+
+
+def q_cube_ic21(spark, sf_dir):
+    """CubeValidator.ic21 (inverse hierarchy reachability) -> (value, n_lists)."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    v = CubeValidator(TripleStore(_geo_cube(spark, sf_dir)))
+    return v.ic21().select("value", F.size("code_lists").alias("n_lists"))
+
+
 def q_events_window_agg(spark, sf_dir):
     """Tumbling event-time window counts (the batch shape of the streaming
     windowed aggregation): events per (5-minute bucket, type), bucket
@@ -622,6 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_ic15": q_cube_ic15,
         "cube_ic16": q_cube_ic16,
         "cube_ic17": q_cube_ic17,
+        "cube_ic19": q_cube_ic19,
+        "cube_ic20": q_cube_ic20,
+        "cube_ic21": q_cube_ic21,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
         "kg_turn_order": q_kg_turn_order,
@@ -984,6 +1107,24 @@ linked AS (
                      count(*) OVER (PARTITION BY ds) AS tot
               FROM mt_base
             ) WHERE grp != 2
+        """,
+        "cube_ic19": """
+            SELECT DISTINCT 'http://example.org/geo#nation-' || CAST(n_nationkey AS VARCHAR) AS value,
+                   'http://example.org/geo#scheme-nations' AS cl
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_nationkey % 5 = 0
+        """,
+        "cube_ic20": """
+            SELECT DISTINCT 'http://example.org/geo#cust-' || CAST(c_custkey AS VARCHAR) AS value,
+                   2 AS n_lists
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey != 0
+        """,
+        "cube_ic21": """
+            SELECT DISTINCT 'http://example.org/geo#cust-' || CAST(c_custkey AS VARCHAR) AS value,
+                   2 AS n_lists
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey != 1
         """,
         "events_window_agg": """
             SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
