@@ -298,7 +298,11 @@ def q_events_sessionize(spark, sf_dir):
             "new_sess",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                # Fractional-second epoch: events.ts carries microseconds, and
+                # the DuckDB oracle compares epoch() doubles — unix_timestamp
+                # truncates to whole seconds and mis-sessionsizes gaps like
+                # 1800.4s, so cast to double (sub-second) on the Spark side too.
+                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800),
                 1,
             ).otherwise(0),
         )

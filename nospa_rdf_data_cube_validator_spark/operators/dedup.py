@@ -102,8 +102,11 @@ def lsh_candidate_pairs(
 
     One explode (bands x docs rows) + one self-join keyed (band, bucket).
     ``max_bucket`` drops degenerate buckets (e.g. empty-text docs) that would
-    otherwise go quadratic — logged-by-column rather than silently: callers
-    can count dropped buckets from the returned metadata if needed."""
+    otherwise go quadratic — the standard web-dedup hot-bucket guard. The
+    drop is silent by design (a capped bucket means "too common to be a
+    useful signature"); callers needing the count can reuse the same
+    groupBy: ``banded.groupBy("band","bucket").count().where(col("count") >
+    max_bucket)``."""
     n_hashes = None  # derived from array length at runtime
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = signatures.select(
@@ -166,11 +169,19 @@ def minhash_duplicates(
         .where(F.col("est_jaccard") >= threshold)
         .select("src", "dst")
     )
+    # connected_components consumes its edge set twice (count + propagate /
+    # collect); persist so the LSH+verify pipeline executes once, not twice.
+    verified = verified.persist()
     comps = connected_components(verified)
-    return (
+    out = (
         comps.where(F.col("node") != F.col("component"))
         .select(F.col("node").alias("id"), F.col("component").alias("canonical_id"))
     )
+    # connected_components returns a materialized frame (createDataFrame or
+    # localCheckpoint), so the inputs can be released immediately.
+    verified.unpersist()
+    sigs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -219,10 +230,18 @@ def simhash_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-dups by SimHash: candidates collide on one of four 16-bit chunks
     (pigeonhole: hamming <= 3 over 64 bits guarantees an equal chunk), then
-    exact Hamming verify. Returns (src, dst, hamming) pairs, src < dst."""
+    exact Hamming verify. Returns (src, dst, hamming) pairs, src < dst.
+
+    ``max_bucket`` caps each (chunk, val) bucket — the same hot-bucket guard
+    as the MinHash LSH join: a 16-bit chunk has only 65,536 values, so at
+    web scale one popular chunk value (boilerplate-dominated docs) would
+    otherwise hold millions of ids and the self-join would go quadratic.
+    Docs whose every chunk is capped simply produce no candidates (they are
+    "too common to distinguish" — the standard recall/cost trade)."""
     sigs = simhash_signatures(docs, text_col, id_col).persist()
     chunked = sigs.select(
         "id",
@@ -234,6 +253,12 @@ def simhash_duplicates(
             )
         ).alias("cv"),
     ).select("id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    counts = chunked.groupBy("chunk", "val").agg(F.count("*").alias("n"))
+    chunked = chunked.join(
+        counts.where(F.col("n") <= max_bucket).select("chunk", "val"),
+        ["chunk", "val"],
+        "left_semi",
+    )
     a, b = chunked.alias("a"), chunked.alias("b")
     pairs = (
         a.join(
@@ -262,14 +287,24 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     n: int = 1,
 ) -> DataFrame:
-    """Exact word n-gram Jaccard for given (src, dst) candidate pairs."""
-    grams = F.expr(
-        f"array_distinct(filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != ''))"
-        if n == 1
-        else f"array_distinct(transform(sequence(1, greatest(size(split(lower({text_col}), '[^a-z0-9]+')) - {n - 1}, 1)),"
-        f" i -> array_join(slice(filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != ''), i, {n}), ' ')))"
+    """Exact word n-gram Jaccard for given (src, dst) candidate pairs.
+
+    The token array is computed once (filtered of the empty tokens that
+    split() emits for leading/trailing/repeated separators) and the n-gram
+    sequence is bounded by the FILTERED size — sizing from the raw split
+    would produce truncated trailing grams when the text has extra
+    separators."""
+    toks = F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != '')")
+    if n == 1:
+        grams = F.expr("array_distinct(toks)")
+    else:
+        grams = F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(toks) - {n - 1}, 1)),"
+            f" i -> array_join(slice(toks, i, {n}), ' ')))"
+        )
+    g = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+        "id", grams.alias("grams")
     )
-    g = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
     ga = g.select(F.col("id").alias("src"), F.col("grams").alias("g_a"))
     gb = g.select(F.col("id").alias("dst"), F.col("grams").alias("g_b"))
     return (
@@ -286,51 +321,105 @@ def ngram_jaccard(
     )
 
 
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 16,
+    planes_per_band: int = 16,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """(id, band, bucket): multi-band random-hyperplane LSH signatures.
+
+    Each band packs ``planes_per_band`` sign bits into one bucket key; a pair
+    becomes a candidate if it collides in ANY band (OR-amplification). With
+    p = 1 - theta/pi per plane, recall at cosine c is
+    1 - (1 - p^planes)^bands — for the default 16x16 at c = 0.95
+    (p ~ 0.899): band-hit ~ 0.182, recall ~ 1 - 0.818^16 ~ 0.96, while each
+    band still has 2^16 buckets so the per-band join stays sub-quadratic.
+
+    Projections run as one Arrow-batched numpy matmul (sign(V @ P^T));
+    the plane matrix is generated once on the driver from a fixed PCG64
+    seed and shipped in the UDF closure — deterministic across runs and
+    parallelism levels, no per-element interpreted lambdas."""
+    import numpy as np
+    import pandas as pd
+
+    total_planes = n_bands * planes_per_band
+
+    def gen(batches):
+        planes = None
+        packer = (np.uint64(1) << np.arange(planes_per_band, dtype=np.uint64))
+        for pdf in batches:
+            ids_out, bands_out, buckets_out = [], [], []
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "band": [], "bucket": []})
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+            if planes is None or planes.shape[1] != mat.shape[1]:
+                rng = np.random.Generator(np.random.PCG64(seed))
+                planes = rng.standard_normal((total_planes, mat.shape[1]))
+            signs = (mat @ planes.T) > 0  # (n_docs, total_planes) bool
+            bits = signs.reshape(len(pdf), n_bands, planes_per_band).astype(np.uint64)
+            buckets = (bits * packer).sum(axis=2).astype(np.int64)  # (n_docs, n_bands)
+            for did, row in zip(pdf["_id"], buckets):
+                ids_out.extend([did] * n_bands)
+                bands_out.extend(range(n_bands))
+                buckets_out.extend(row.tolist())
+            yield pd.DataFrame({"id": ids_out, "band": bands_out, "bucket": buckets_out})
+
+    narrow = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    return narrow.mapInPandas(gen, schema="id long, band int, bucket long")
+
+
 def embedding_duplicates(
     embeddings: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int = 16,
+    planes_per_band: int = 16,
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """Cosine near-dups over an embedding column, bucketed by deterministic
-    random-hyperplane signs (LSH) so the verify join is per-bucket, not n^2.
-
-    Hyperplane r_k's component for dimension i is a hash-derived pseudo-random
-    in [-1, 1] — deterministic, no RNG state, reproducible across runs and
-    parallelism levels."""
-    def plane_dot(k: int) -> F.Column:
-        return F.expr(
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
-            f" (v, i) -> v * (pmod(xxhash64(i, {k}), 2000) / 1000.0 - 1.0)),"
-            " cast(0.0 as double), (acc, x) -> acc + x)"
+    """Cosine near-dups over an embedding column via multi-band hyperplane
+    LSH: candidates collide in ANY of ``n_bands`` buckets (recall ~0.96 at
+    the default 0.95 threshold — see hyperplane_buckets), then an exact
+    per-candidate cosine verify. Per-band buckets are capped at
+    ``max_bucket`` (hot-bucket guard), so the self-join is bounded per key
+    and the whole plan stays sub-quadratic at corpus scale."""
+    banded = hyperplane_buckets(
+        embeddings, vec_col, id_col, n_bands=n_bands, planes_per_band=planes_per_band
+    )
+    counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    banded = banded.join(
+        counts.where(F.col("n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-    sign_bits = sum(
-        (F.when(plane_dot(k) > 0, 1 << k).otherwise(0) for k in range(n_planes)), F.lit(0)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .distinct()
     )
-    norm = F.expr(f"sqrt(aggregate({vec_col}, cast(0.0 as double), (acc, x) -> acc + x * x))")
-    v = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        sign_bits.alias("bucket"),
-        norm.alias("norm"),
-    )
-    a, b = v.alias("a"), v.alias("b")
+    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     dot = F.expr(
         "aggregate(zip_with(a_vec, b_vec, (x, y) -> cast(x as double) * y),"
         " cast(0.0 as double), (acc, x) -> acc + x)"
     )
+    norm = "sqrt(aggregate({v}, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * x))"
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
-            F.col("a.vec").alias("a_vec"),
-            F.col("b.vec").alias("b_vec"),
-            F.col("a.norm").alias("a_norm"),
-            F.col("b.norm").alias("b_norm"),
+        pairs.join(v.select(F.col("id").alias("src"), F.col("vec").alias("a_vec")), "src")
+        .join(v.select(F.col("id").alias("dst"), F.col("vec").alias("b_vec")), "dst")
+        .withColumn(
+            "cosine",
+            dot / (F.expr(norm.format(v="a_vec")) * F.expr(norm.format(v="b_vec"))),
         )
-        .withColumn("cosine", dot / (F.col("a_norm") * F.col("b_norm")))
         .where(F.col("cosine") >= threshold)
         .select("src", "dst", "cosine")
     )

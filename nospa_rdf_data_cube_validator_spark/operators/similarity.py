@@ -67,35 +67,60 @@ def assign_cells(
         F.col(vec_col).alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nlist)).alias("cell"),
     )
-    dim_mean = (
-        seeded.select("cell", F.posexplode("vec").alias("i", "v"))
-        .groupBy("cell", "i")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
-        .select("cell", F.expr("transform(im, x -> x.m)").alias("centroid"))
-    )
-    cents = F.broadcast(dim_mean)
-    # one refinement pass: reassign each vector to its nearest centroid
-    best = (
-        seeded.crossJoin(cents.withColumnRenamed("cell", "c_cell"))
-        .withColumn("dist", -cosine_col("vec", "centroid"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "c_cell")),
+
+    def per_cell_means(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cell", F.posexplode("vec").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            .select("cell", F.expr("transform(im, x -> x.m)").alias("centroid"))
         )
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("c_cell").alias("cell"))
-    )
-    final_cents = (
-        best.join(seeded.select("vec_id", "vec"), "vec_id")
-        .select("cell", F.posexplode("vec").alias("i", "v"))
-        .groupBy("cell", "i")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
-        .select("cell", F.expr("transform(im, x -> x.m)").alias("centroid"))
-    )
+
+    def nearest_cell(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        """Map-side argmin against driver-collected centroids: nlist rows of
+        metadata collect to the driver, ride to executors in the Arrow UDF
+        closure, and each vector finds its cell in one numpy matmul — no
+        crossJoin row blowup and no full-data window shuffle (the previous
+        crossJoin+row_number form shuffled the whole corpus once per pass).
+        Ties break toward the lowest cell id (np.argmax keeps the first
+        maximum), matching a deterministic (sim DESC, cell ASC) ordering."""
+        import numpy as np
+        import pandas as pd
+
+        rows = sorted(cents.collect(), key=lambda r: r["cell"])
+        cell_ids = np.asarray([r["cell"] for r in rows], dtype=np.int64)
+        C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"vec_id": [], "cell": [], "vec": []})
+                    continue
+                V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+                best_idx = np.argmax(Vn @ Cn.T, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        "cell": cell_ids[best_idx],
+                        "vec": pdf["vec"].values,
+                    }
+                )
+
+        # vec rides through the kernel so the refinement's centroid recompute
+        # needs no vec_id join (which would be a second full-data shuffle).
+        return vectors.select("vec_id", "vec").mapInPandas(
+            gen, schema="vec_id long, cell long, vec array<double>"
+        )
+
+    dim_mean = per_cell_means(seeded)
+    # one refinement pass: reassign each vector to its nearest centroid
+    reassigned = nearest_cell(seeded, dim_mean)
+    best = reassigned.select("vec_id", "cell")
+    final_cents = per_cell_means(reassigned)
     return best, final_cents
 
 

@@ -51,6 +51,7 @@ class CubeValidator:
         self.store = store
         self.strict_w3c = strict_w3c
         self._memo: dict[str, DataFrame] = {}
+        self._persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------
     # shared sub-plans (all cached; metadata ones are tiny)
@@ -59,6 +60,30 @@ class CubeValidator:
         if key not in self._memo:
             self._memo[key] = build()
         return self._memo[key]
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        """persist() with ownership: released by unpersist()/close() so
+        per-query validator instances don't leak observation-scale cached
+        frames for the session lifetime."""
+        df = df.persist()
+        self._persisted.append(df)
+        return df
+
+    def unpersist(self) -> None:
+        """Release every frame this validator persisted. Safe to call after
+        all violation DataFrames have been collected/written; results built
+        on the memoized frames recompute from source if used afterwards."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
+        self._memo.clear()
+
+    # context-manager sugar: `with CubeValidator(store) as v: ...`
+    def __enter__(self) -> "CubeValidator":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
     def obs_ds(self) -> DataFrame:
         """(obs, ds): the observation-scale qb:dataSet edge table."""
@@ -315,8 +340,9 @@ class CubeValidator:
                 )
             )
             # ic11() and ic12() both consume this observation-scale frame;
-            # persist so two actions don't recompute the groupBys.
-            return base.persist()
+            # persist so two actions don't recompute the groupBys (owned:
+            # released by unpersist()/close()).
+            return self._persist(base)
 
         return self._cached("ic11_12_base", build)
 

@@ -61,13 +61,17 @@ def _unescape(s: str) -> str:
     return _ESC_RE.sub(sub, s)
 
 
-def _parse_nt_batch(lines: pd.Series) -> pd.DataFrame:
+def _parse_nt_batch(lines: pd.Series, on_malformed: str = "raise") -> pd.DataFrame:
     out = {c: [] for c in terms.TRIPLE_COLS}
     for line in lines:
         if not line or line.lstrip().startswith("#"):
             continue
         m = _NT_LINE.match(line)
         if not m:
+            # Jena (the reference's parser, Main.java:23-43) fails loudly on
+            # malformed input; silently dropping lines would mask data loss.
+            if on_malformed == "raise":
+                raise ValueError(f"malformed N-Triples line: {line[:200]!r}")
             continue
         g = m.groupdict()
         subj = g["s_iri"] if g["s_iri"] is not None else g["s_bn"]
@@ -89,13 +93,19 @@ def _parse_nt_batch(lines: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed N-Triples reader: text lines -> triples DF (dedup'd)."""
+def read_ntriples(spark: SparkSession, path: str, on_malformed: str = "raise") -> DataFrame:
+    """Distributed N-Triples reader: text lines -> triples DF (dedup'd).
+
+    on_malformed: 'raise' (default — Jena parity, the job fails with the
+    offending line in the error) or 'drop' (permissive mode for scrubbing
+    known-dirty dumps; rejected lines are dropped)."""
+    if on_malformed not in ("raise", "drop"):
+        raise ValueError(f"on_malformed must be 'raise' or 'drop', got {on_malformed!r}")
     raw = spark.read.text(path)
 
     def gen(batches):
         for pdf in batches:
-            yield _parse_nt_batch(pdf["value"])
+            yield _parse_nt_batch(pdf["value"], on_malformed)
 
     parsed = raw.mapInPandas(gen, schema=terms.TRIPLES_SCHEMA)
     return parsed.dropDuplicates(["subj", "pred", "obj"])

@@ -77,29 +77,51 @@ def streaming_mention_counts(
     )
 
 
+def materialize_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str, dictionary: DataFrame, alias_map: DataFrame
+) -> None:
+    """One micro-batch of KG materialization, written idempotently.
+
+    The batch's triples land in their own ``batch_id=N`` partition under
+    dynamic partition overwrite: re-running the same batch (foreachBatch
+    redelivery after a crash between the data write and the checkpoint
+    commit) replaces the partition byte-for-byte instead of duplicating it."""
+    mentions = extract_mentions(batch_df)
+    canon = canonicalize(link_mentions(mentions, dictionary), alias_map)
+    edges = canon.select(
+        F.col("subj_entity").alias("subj"),
+        F.col("rel").alias("pred"),
+        F.col("obj_entity").alias("obj"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+    (
+        edges.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def streaming_kg_materialize(
     spark: SparkSession, stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):
     """Incrementally materialize KG edge triples from a transcript stream.
 
     foreachBatch reuses the exact batch operators, so streaming and batch
-    produce identical triples for identical input; the checkpoint dir gives
-    exactly-once per micro-batch on restart (the streaming analogue of the
-    pipeline's manifest resume)."""
+    produce identical triples for identical input. The sink is idempotent
+    per micro-batch: each batch writes to its own ``batch_id=N`` partition
+    with dynamic partition overwrite, so a retried batch (failure after the
+    data write but before the streaming checkpoint commits) REPLACES its own
+    partition instead of appending duplicates — foreachBatch's at-least-once
+    redelivery composed with an idempotent write gives effectively-once
+    output."""
     dictionary = surface_dict(spark)
     alias_map = resolve_aliases(alias_edges(spark))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        mentions = extract_mentions(batch_df)
-        canon = canonicalize(link_mentions(mentions, dictionary), alias_map)
-        edges = canon.select(
-            F.col("subj_entity").alias("subj"),
-            F.col("rel").alias("pred"),
-            F.col("obj_entity").alias("obj"),
-            F.col("conv_id"),
-            F.col("turn_idx"),
-        )
-        edges.write.mode("append").parquet(out_dir)
+        materialize_batch(batch_df, batch_id, out_dir, dictionary, alias_map)
 
     return (
         stream.writeStream.foreachBatch(process)

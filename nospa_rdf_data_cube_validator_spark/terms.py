@@ -99,12 +99,20 @@ def is_literal(col: str = "obj_kind") -> F.Column:
 
 
 def ntriples_term_obj() -> F.Column:
-    """Render the object columns of a triples DF back to N-Triples syntax."""
+    """Render the object columns of a triples DF back to N-Triples syntax.
+
+    Escapes backslash and quote, then newline/CR/tab — N-Triples is
+    line-oriented, so an unescaped control char in a literal would split the
+    triple across lines and silently lose it on re-read (Jena's writer
+    escapes these too). Mirrors _UNESC on the read side."""
     lex = F.regexp_replace(
         F.expr("substring(obj, length(concat('literal:', coalesce(obj_datatype,''), ':', coalesce(obj_lang,''), ':')) + 1)"),
         '(["\\\\])',
         r"\\$1",
     )
+    lex = F.regexp_replace(lex, "\n", r"\\n")
+    lex = F.regexp_replace(lex, "\r", r"\\r")
+    lex = F.regexp_replace(lex, "\t", r"\\t")
     lit = F.concat(F.lit('"'), lex, F.lit('"'))
     lit = F.when(
         F.col("obj_lang").isNotNull(), F.concat(lit, F.lit("@"), F.col("obj_lang"))

@@ -168,3 +168,49 @@ def test_frame_sample(spark):
     media = multimodal.docs_as_media(docs)  # doc 2 -> video
     frames = multimodal.frame_sample(media, every_n_bytes=64).collect()
     assert len(frames) == 3  # 200 // 64 = 3 sampled frames (idx 0..2)
+
+
+def test_embedding_duplicates_recall(spark):
+    """Multi-band hyperplane LSH must recover >= 90% of true cosine-0.95
+    pairs (the single-band form recalled ~42% — the round-1 scale bug)."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(40):
+        v = rng.randn(16)
+        rows.append((2 * i, [float(x) for x in v]))
+        # planted near-dup: tiny perturbation keeps cosine > 0.99
+        rows.append((2 * i + 1, [float(x) for x in v + rng.randn(16) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["src"], r["dst"]) for r in dedup.embedding_duplicates(emb, threshold=0.95).collect()}
+    expected = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"recall {recall} below 0.9: {sorted(expected - got)}"
+    # verification stage guarantees precision: every returned pair is >= 0.95
+    mat = {vid: np.array(v) for vid, v in rows}
+    for s, d in got:
+        cos = float(np.dot(mat[s], mat[d]) / (np.linalg.norm(mat[s]) * np.linalg.norm(mat[d])))
+        assert cos >= 0.95 - 1e-9
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """A degenerate corpus (every doc identical) exceeds max_bucket on every
+    chunk, so the capped join must emit no candidate pairs instead of going
+    quadratic; distinct docs below the cap still pair up."""
+    same = [(i, "identical boilerplate text repeated everywhere") for i in range(10)]
+    docs = spark.createDataFrame(same, "doc_id long, text string")
+    assert dedup.simhash_duplicates(docs, max_bucket=5).count() == 0
+    assert dedup.simhash_duplicates(docs, max_bucket=64).count() == 45  # 10 choose 2
+
+
+def test_ngram_jaccard_bigrams_exact(spark):
+    """n=2 path: separators must not inflate the gram count (round-1 bug:
+    sequence sized from the unfiltered split)."""
+    docs = spark.createDataFrame(
+        [(1, "  a b, c  "), (2, "a b c"), (3, "b c d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {(r["src"], r["dst"]): r["jaccard"] for r in dedup.ngram_jaccard(pairs, docs, n=2).collect()}
+    # doc1 == doc2 under tokenization: grams {"a b", "b c"} -> jaccard 1.0
+    assert got[(1, 2)] == 1.0
+    # doc2 {"a b","b c"} vs doc3 {"b c","c d"}: intersection 1, union 3
+    assert abs(got[(2, 3)] - 1 / 3) < 1e-9

@@ -146,3 +146,35 @@ def test_validation_report(spark, tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "validation_result_*.md"))
+
+
+def test_ntriples_roundtrip_control_chars(spark, tmp_path):
+    """Literals with newline/CR/tab must survive a write->read roundtrip
+    (the writer escapes them; unescaped they split the line and vanish)."""
+    from nospa_rdf_data_cube_validator_spark import terms
+
+    rows = [
+        terms.lit_row("http://x/s1", "http://x/p", 'multi\nline "quoted" \t tabbed \r cr'),
+        terms.lit_row("http://x/s2", "http://x/p", "back\\slash", "http://www.w3.org/2001/XMLSchema#string"),
+        terms.iri_row("http://x/s3", "http://x/p", "http://x/o"),
+    ]
+    df = terms.triples_df(spark, rows)
+    path = str(tmp_path / "ctrl_nt")
+    write_ntriples(df, path)
+    back = read_ntriples(spark, path)
+    k = ["subj", "pred", "obj"]
+    assert back.count() == 3
+    assert df.join(back, k, "left_anti").count() == 0
+    assert back.join(df, k, "left_anti").count() == 0
+
+
+def test_ntriples_malformed_raises(spark, tmp_path):
+    """Jena parity: malformed N-Triples input fails loudly by default and
+    is droppable only on request."""
+    import pytest as _pytest
+
+    p = tmp_path / "bad.nt"
+    p.write_text("<http://x/s> <http://x/p> <http://x/o> .\nnot a triple line\n")
+    with _pytest.raises(Exception, match="malformed"):
+        read_ntriples(spark, str(p)).count()
+    assert read_ntriples(spark, str(p), on_malformed="drop").count() == 1

@@ -98,3 +98,26 @@ def test_streaming_turn_order_check(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["conv_id"], r["turn_idx"]) for r in spark.sql("select * from ooo").collect()}
     assert got == {("c1", 1), ("c2", 3)}
+
+
+def test_materialize_batch_retry_idempotent(spark, transcript_dir, tmp_path):
+    """foreachBatch redelivery: re-running the SAME batch_id must replace its
+    partition, not append duplicates (dynamic partition overwrite)."""
+    from nospa_rdf_data_cube_validator_spark.functions.linking import (
+        alias_edges,
+        resolve_aliases,
+        surface_dict,
+    )
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import materialize_batch
+
+    out = str(tmp_path / "retry_edges")
+    batch = spark.read.parquet(transcript_dir)
+    d = surface_dict(spark)
+    am = resolve_aliases(alias_edges(spark))
+    materialize_batch(batch, 0, out, d, am)
+    n1 = spark.read.parquet(out).count()
+    materialize_batch(batch, 0, out, d, am)  # simulated redelivery
+    assert spark.read.parquet(out).count() == n1
+    # a second batch appends its own partition
+    materialize_batch(batch.limit(5), 1, out, d, am)
+    assert spark.read.parquet(out).count() > n1
