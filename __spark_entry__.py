@@ -213,15 +213,60 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def _family_docs(spark, sf_dir):
+    """Deterministic near-dup families derived from documents.doc_id: family
+    f = doc_id // 3; each family's core is 40 pseudo-random words (arithmetic
+    over a large prime, so families don't share word sets until f wraps at
+    1000003). Members share ~94% of their char shingles (minhash path) and
+    EXACTLY the same token multiset under case/punct normalization (simhash
+    path), so the expected cluster structure is pure id arithmetic — the
+    DuckDB oracle never has to reproduce the hash functions, only the
+    family partition."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.withColumn("fam", F.floor(F.col("doc_id") / 3).cast("long"))
+        .withColumn("member", (F.col("doc_id") % 3).cast("int"))
+        .withColumn(
+            "core",
+            F.expr(
+                "array_join(transform(sequence(0, 39),"
+                " j -> concat('w', cast((fam * 31 + j * 17) % 1000003 as string))), ' ')"
+            ),
+        )
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup clusters (no SQL oracle: engine-specific hashes;
-    correctness pinned by tests against exact Jaccard instead)."""
-    return dedup.minhash_duplicates(_t(spark, sf_dir, "documents"))
+    """MinHash+LSH near-dup clustering over seeded families: members differ
+    only in a tiny member suffix (true shingle Jaccard ~0.94, far above the
+    0.7 estimate threshold), so clusters == families and the oracle is the
+    id arithmetic. The full LSH pipeline (shingle -> sign -> band -> bucket
+    join -> verify -> connected components) is exercised end to end."""
+    fam = _family_docs(spark, sf_dir)
+    docs = fam.select(
+        "doc_id",
+        F.concat(
+            F.col("core"), F.lit(" "), F.col("core"), F.lit(" "), F.col("core"),
+            F.lit(" m"), F.col("member").cast("string"),
+        ).alias("text"),
+    )
+    return dedup.minhash_duplicates(docs)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (no SQL oracle — same reason as minhash)."""
-    return dedup.simhash_duplicates(_t(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs over seeded families: members carry the SAME
+    token multiset (case/punctuation variants only), so intra-family pairs
+    have identical simhash (hamming 0) and the oracle is the id arithmetic;
+    cross-family word sets differ in >75% of tokens (hamming >> 3)."""
+    fam = _family_docs(spark, sf_dir)
+    docs = fam.select(
+        "doc_id",
+        F.when(F.col("member") == 0, F.col("core"))
+        .when(F.col("member") == 1, F.upper(F.col("core")))
+        .otherwise(F.concat(F.col("core"), F.lit(" !!! ")))
+        .alias("text"),
+    )
+    return dedup.simhash_duplicates(docs)
 
 
 def q_embedding_near_pairs(spark, sf_dir):
@@ -278,6 +323,12 @@ def q_text_fingerprint(spark, sf_dir):
     return textual.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_winnow(spark, sf_dir):
+    """md5 min-shingle fingerprint — the cross-engine-reproducible variant,
+    oracle-gated (both engines compute md5 over the same char 8-shingles)."""
+    return textual.winnow_fingerprint(_t(spark, sf_dir, "documents"))
+
+
 def q_multimodal(spark, sf_dir):
     """Binary-column plumbing: docs as opaque media payloads -> features via
     Arrow-batched mapInPandas (decode stubbed deterministically)."""
@@ -300,9 +351,15 @@ def q_events_sessionize(spark, sf_dir):
                 F.col("prev_ts").isNull()
                 # Fractional-second epoch: events.ts carries microseconds, and
                 # the DuckDB oracle compares epoch() doubles — unix_timestamp
-                # truncates to whole seconds and mis-sessionsizes gaps like
-                # 1800.4s, so cast to double (sub-second) on the Spark side too.
-                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800),
+                # truncates to whole seconds and mis-sessionizes gaps like
+                # 1800.4s. TIMESTAMP_NTZ can't cast to double directly; the
+                # tz-cast detour is safe because any session-tz offset cancels
+                # in the difference.
+                | (
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("prev_ts").cast("timestamp").cast("double")
+                    > 1800
+                ),
                 1,
             ).otherwise(0),
         )
@@ -682,6 +739,160 @@ def q_cube_ic21(spark, sf_dir):
     return v.ic21().select("value", F.size("code_lists").alias("n_lists"))
 
 
+def _slice_cube(spark, sf_dir):
+    """Slice-bearing metadata cube for IC-2..IC-10 and IC-18, derived from
+    nation (25 keys k at every sf). One dataset/DSD/dim/sliceKey/slice
+    family per k, with modular seeds (reference semantics per
+    nonsparql/ValidatorIC2.java..ValidatorIC10.java, ValidatorIC18.java):
+
+    - IC-2:  k%7==3 -> dataset has NO qb:structure (n=0);
+             k%5==0 (and structured) -> a second structure to dsd-extra (n=2)
+    - IC-3:  k%4==1 -> DSD declares no measure component
+    - IC-4:  k%6==2 -> dimension has no rdfs:range
+    - IC-5:  k%6==4 -> dimension ranges skos:Concept but has no qb:codeList
+    - IC-6:  k%8==5 -> the optional (componentRequired false) component's
+             property is the DIMENSION, not an attribute
+    - IC-7:  k%9==6 -> slice key not attached to any DSD via qb:sliceKey
+    - IC-8:  k%10==7 -> slice key carries an extra componentProperty
+             (rogue-k) that its DSD never declares
+    - IC-9:  k%11==3 -> slice has no qb:sliceStructure (n=0);
+             k%11==8 -> a second structure to slicekey-extra (n=2)
+    - IC-10: k%12==9 -> slice omits its dim value; the IC-8 rogue props and
+             the IC-9 extra key's dim-extra are never valued on slices, so
+             those seeds surface here too
+    - IC-18: k%13==10 -> the slice's first observation declares qb:dataSet
+             of the NEXT dataset instead of its own
+
+    Metadata-scale by construction (the reference's slice checks all run on
+    schema entities); built driver-side from the collected nation keys like
+    the reference loads its model, oracle-replicated by mod arithmetic."""
+    from nospa_rdf_data_cube_validator_spark import qb, terms
+
+    SL = "http://example.org/sl#"
+    ks = sorted(
+        r[0] for r in _t(spark, sf_dir, "nation").select("n_nationkey").distinct().collect()
+    )
+    dsd_extra, key_extra, dim_extra = SL + "dsd-extra", SL + "slicekey-extra", SL + "dim-extra"
+    attr, meas = SL + "attr", SL + "measure"
+    rows = [
+        terms.iri_row(attr, qb.RDF_TYPE, qb.QB_ATTRIBUTE_PROPERTY),
+        terms.iri_row(meas, qb.RDF_TYPE, qb.QB_MEASURE_PROPERTY),
+        terms.iri_row(dim_extra, qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY),
+        terms.iri_row(dim_extra, qb.RDFS_RANGE, qb.XSD_STRING),
+        terms.iri_row(key_extra, qb.RDF_TYPE, qb.QB_SLICE_KEY),
+        terms.iri_row(key_extra, qb.QB_COMPONENT_PROPERTY, dim_extra),
+    ]
+    for k in ks:
+        ds, dsd = f"{SL}ds-{k}", f"{SL}dsd-{k}"
+        dim, key, slc = f"{SL}dim-{k}", f"{SL}slicekey-{k}", f"{SL}slice-{k}"
+        rows.append(terms.iri_row(ds, qb.RDF_TYPE, qb.QB_DATASET))
+        if k % 7 != 3:
+            rows.append(terms.iri_row(ds, qb.QB_STRUCTURE, dsd))
+            if k % 5 == 0:
+                rows.append(terms.iri_row(ds, qb.QB_STRUCTURE, dsd_extra))
+        rows.append(terms.iri_row(dsd, qb.RDF_TYPE, qb.QB_DSD))
+        dspec = f"_:sl-dim-{k}"
+        rows.append(terms.bnode_row(dsd, qb.QB_COMPONENT, dspec))
+        rows.append(terms.iri_row(dspec, qb.QB_COMPONENT_PROPERTY, dim))
+        if k % 4 != 1:
+            mspec = f"_:sl-meas-{k}"
+            rows.append(terms.bnode_row(dsd, qb.QB_COMPONENT, mspec))
+            rows.append(terms.iri_row(mspec, qb.QB_COMPONENT_PROPERTY, meas))
+        aspec = f"_:sl-attr-{k}"
+        rows.append(terms.bnode_row(dsd, qb.QB_COMPONENT, aspec))
+        rows.append(terms.lit_row(aspec, qb.QB_COMPONENT_REQUIRED, "false", qb.XSD_BOOLEAN))
+        rows.append(
+            terms.iri_row(aspec, qb.QB_COMPONENT_PROPERTY, dim if k % 8 == 5 else attr)
+        )
+        rows.append(terms.iri_row(dim, qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY))
+        if k % 6 == 4:
+            rows.append(terms.iri_row(dim, qb.RDFS_RANGE, qb.SKOS_CONCEPT))
+        elif k % 6 != 2:
+            rows.append(terms.iri_row(dim, qb.RDFS_RANGE, qb.XSD_STRING))
+        rows.append(terms.iri_row(key, qb.RDF_TYPE, qb.QB_SLICE_KEY))
+        rows.append(terms.iri_row(key, qb.QB_COMPONENT_PROPERTY, dim))
+        if k % 10 == 7:
+            rows.append(terms.iri_row(key, qb.QB_COMPONENT_PROPERTY, f"{SL}rogue-{k}"))
+        if k % 9 != 6:
+            rows.append(terms.iri_row(dsd, qb.QB_SLICE_KEY_PROP, key))
+        rows.append(terms.iri_row(slc, qb.RDF_TYPE, qb.QB_SLICE))
+        if k % 11 != 3:
+            rows.append(terms.iri_row(slc, qb.QB_SLICE_STRUCTURE, key))
+        if k % 11 == 8:
+            rows.append(terms.iri_row(slc, qb.QB_SLICE_STRUCTURE, key_extra))
+        if k % 12 != 9:
+            rows.append(terms.iri_row(slc, dim, f"{SL}val-{k}"))
+        rows.append(terms.iri_row(ds, qb.QB_SLICE_PROP, slc))
+        for i in range(3):
+            obs = f"{SL}obs-{k}-{i}"
+            rows.append(terms.iri_row(slc, qb.QB_OBSERVATION_PROP, obs))
+            tgt = f"{SL}ds-{(k + 1) % len(ks)}" if (k % 13 == 10 and i == 0) else ds
+            rows.append(terms.iri_row(obs, qb.QB_DATASET_PROP, tgt))
+    # attach the shared extra slice key to dsd-0 and declare its dim there,
+    # so the extras themselves trip no constraint
+    rows.append(terms.iri_row(f"{SL}dsd-0", qb.QB_SLICE_KEY_PROP, key_extra))
+    rows.append(terms.bnode_row(f"{SL}dsd-0", qb.QB_COMPONENT, "_:sl-extra"))
+    rows.append(terms.iri_row("_:sl-extra", qb.QB_COMPONENT_PROPERTY, dim_extra))
+    return spark.createDataFrame(rows, terms.TRIPLES_SCHEMA)
+
+
+def _slice_validator(spark, sf_dir):
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    return CubeValidator(TripleStore(_slice_cube(spark, sf_dir)))
+
+
+def q_cube_ic2(spark, sf_dir):
+    """CubeValidator.ic2 (unique DSD) -> (ds, n_dsds)."""
+    return _slice_validator(spark, sf_dir).ic2().select("ds", "n_dsds")
+
+
+def q_cube_ic3(spark, sf_dir):
+    """CubeValidator.ic3 (DSD includes measure) -> (dsd)."""
+    return _slice_validator(spark, sf_dir).ic3()
+
+
+def q_cube_ic4(spark, sf_dir):
+    """CubeValidator.ic4 (dimensions have range) -> (dim)."""
+    return _slice_validator(spark, sf_dir).ic4()
+
+
+def q_cube_ic5(spark, sf_dir):
+    """CubeValidator.ic5 (concept dims have code lists) -> (dim)."""
+    return _slice_validator(spark, sf_dir).ic5()
+
+
+def q_cube_ic6(spark, sf_dir):
+    """CubeValidator.ic6 (only attributes optional) -> (comp_prop)."""
+    return _slice_validator(spark, sf_dir).ic6()
+
+
+def q_cube_ic7(spark, sf_dir):
+    """CubeValidator.ic7 (slice keys declared) -> (slice_key)."""
+    return _slice_validator(spark, sf_dir).ic7()
+
+
+def q_cube_ic8(spark, sf_dir):
+    """CubeValidator.ic8 (slice keys consistent with DSD) -> (comp_prop)."""
+    return _slice_validator(spark, sf_dir).ic8()
+
+
+def q_cube_ic9(spark, sf_dir):
+    """CubeValidator.ic9 (unique slice structure) -> (slice, n_structures)."""
+    return _slice_validator(spark, sf_dir).ic9().select("slice", "n_structures")
+
+
+def q_cube_ic10(spark, sf_dir):
+    """CubeValidator.ic10 (slice dimensions complete) -> (slice, dim)."""
+    return _slice_validator(spark, sf_dir).ic10()
+
+
+def q_cube_ic18(spark, sf_dir):
+    """CubeValidator.ic18 (consistent dataset links) -> (ds, obs)."""
+    return _slice_validator(spark, sf_dir).ic18()
+
+
 def q_events_window_agg(spark, sf_dir):
     """Tumbling event-time window counts (the batch shape of the streaming
     windowed aggregation): events per (5-minute bucket, type), bucket
@@ -737,8 +948,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "multimodal": q_multimodal,
         "cube_ic1": q_cube_ic1,
+        "cube_ic2": q_cube_ic2,
+        "cube_ic3": q_cube_ic3,
+        "cube_ic4": q_cube_ic4,
+        "cube_ic5": q_cube_ic5,
+        "cube_ic6": q_cube_ic6,
+        "cube_ic7": q_cube_ic7,
+        "cube_ic8": q_cube_ic8,
+        "cube_ic9": q_cube_ic9,
+        "cube_ic10": q_cube_ic10,
+        "cube_ic18": q_cube_ic18,
         "cube_ic11": q_cube_ic11,
         "cube_ic12": q_cube_ic12,
         "cube_ic13": q_cube_ic13,
@@ -1047,6 +1269,80 @@ linked AS (
         "cube_ic1": LI_CTE
         + """
             SELECT obs, 2 AS n_datasets FROM li WHERE extra_ds = 1
+        """,
+        "cube_ic2": """
+            SELECT 'http://example.org/sl#ds-' || CAST(n_nationkey AS VARCHAR) AS ds,
+                   CASE WHEN n_nationkey % 7 = 3 THEN 0 ELSE 2 END AS n_dsds
+            FROM nation WHERE n_nationkey % 7 = 3 OR n_nationkey % 5 = 0
+        """,
+        "cube_ic3": """
+            SELECT 'http://example.org/sl#dsd-' || CAST(n_nationkey AS VARCHAR) AS dsd
+            FROM nation WHERE n_nationkey % 4 = 1
+        """,
+        "cube_ic4": """
+            SELECT 'http://example.org/sl#dim-' || CAST(n_nationkey AS VARCHAR) AS dim
+            FROM nation WHERE n_nationkey % 6 = 2
+        """,
+        "cube_ic5": """
+            SELECT 'http://example.org/sl#dim-' || CAST(n_nationkey AS VARCHAR) AS dim
+            FROM nation WHERE n_nationkey % 6 = 4
+        """,
+        "cube_ic6": """
+            SELECT 'http://example.org/sl#dim-' || CAST(n_nationkey AS VARCHAR) AS comp_prop
+            FROM nation WHERE n_nationkey % 8 = 5
+        """,
+        "cube_ic7": """
+            SELECT 'http://example.org/sl#slicekey-' || CAST(n_nationkey AS VARCHAR) AS slice_key
+            FROM nation WHERE n_nationkey % 9 = 6
+        """,
+        "cube_ic8": """
+            SELECT 'http://example.org/sl#rogue-' || CAST(n_nationkey AS VARCHAR) AS comp_prop
+            FROM nation WHERE n_nationkey % 10 = 7
+        """,
+        "cube_ic9": """
+            SELECT 'http://example.org/sl#slice-' || CAST(n_nationkey AS VARCHAR) AS slice,
+                   CASE WHEN n_nationkey % 11 = 3 THEN 0 ELSE 2 END AS n_structures
+            FROM nation WHERE n_nationkey % 11 = 3 OR n_nationkey % 11 = 8
+        """,
+        "cube_ic10": """
+            SELECT 'http://example.org/sl#slice-' || CAST(n_nationkey AS VARCHAR) AS slice,
+                   'http://example.org/sl#dim-' || CAST(n_nationkey AS VARCHAR) AS dim
+            FROM nation WHERE n_nationkey % 12 = 9 AND n_nationkey % 11 != 3
+            UNION ALL
+            SELECT 'http://example.org/sl#slice-' || CAST(n_nationkey AS VARCHAR) AS slice,
+                   'http://example.org/sl#rogue-' || CAST(n_nationkey AS VARCHAR) AS dim
+            FROM nation WHERE n_nationkey % 10 = 7 AND n_nationkey % 11 != 3
+            UNION ALL
+            SELECT 'http://example.org/sl#slice-' || CAST(n_nationkey AS VARCHAR) AS slice,
+                   'http://example.org/sl#dim-extra' AS dim
+            FROM nation WHERE n_nationkey % 11 = 8
+        """,
+        "cube_ic18": """
+            SELECT 'http://example.org/sl#ds-' || CAST(n_nationkey AS VARCHAR) AS ds,
+                   'http://example.org/sl#obs-' || CAST(n_nationkey AS VARCHAR) || '-0' AS obs
+            FROM nation WHERE n_nationkey % 13 = 10
+        """,
+        "dedup_minhash": """
+            SELECT doc_id AS id, cmin AS canonical_id FROM (
+              SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id // 3) AS cmin
+              FROM documents
+            ) WHERE doc_id != cmin
+        """,
+        "dedup_simhash": """
+            SELECT a.doc_id AS src, b.doc_id AS dst, 0 AS hamming
+            FROM documents a JOIN documents b
+              ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+        """,
+        "text_winnow": """
+            SELECT doc_id AS id,
+                   list_min(list_transform(grams, g -> md5(g))) AS min_fp,
+                   len(grams) AS n_shingles
+            FROM (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 8)
+                                    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)]) AS grams
+              FROM documents
+            )
         """,
         "cube_ic11": LI_CTE
         + """

@@ -96,3 +96,27 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         docs.select(F.col(id_col).alias("id"), tokens.alias("tokens"))
         .select("id", fp.alias("fp"))
     )
+
+
+def winnow_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """(id, min_fp, n_shingles): cross-engine-reproducible min-hash document
+    fingerprint — the lexicographically smallest md5 of the distinct char
+    k-shingles (winnowing's selection step with window = whole doc), plus
+    the distinct-shingle count. Complements ``fingerprint`` (the xxhash64
+    rolling hash, faster but not reproducible outside the JVM): md5 is
+    standardized, so this variant is the one to use when fingerprints must
+    match across engines/languages. All JVM-side expressions."""
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substr({text_col}, i, {k})))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+        .select(
+            "id",
+            F.expr("array_min(transform(grams, g -> md5(g)))").alias("min_fp"),
+            F.size("grams").alias("n_shingles"),
+        )
+    )
