@@ -551,12 +551,23 @@ class CubeValidator:
 
         groupBy on the per-dataset non-measure dim-value vector replaces the
         reference's pairwise loop. Reference quirks kept: observations are
-        restricted to those carrying qb:measureType (:34,42); dims with != 1
-        value on an observation are skipped in the equality (vector slot is
-        NULL here; groupBy's null==null matches the mutual-skip case — the
-        one-sided-skip case is not group-expressible and is documented as a
-        deviation); violation iff group size != #declared measures, reported
-        as n_unequal = |obs| - |group| (:50-57)."""
+        restricted to those carrying qb:measureType (:34,42); dims where an
+        observation has != 1 values are SKIPPED in the pairwise equality —
+        one-sidedly, per obs pair (ValidatorIC17.java:87: ``if
+        (valueSet1.size() != 1 || valueSet2.size() != 1) continue``). The
+        vector slot for such a dim is NULL; "clean" observations (no NULL
+        slots) compare by plain vector equality, so their counts come from
+        one groupBy, while the (rare, data-bug-indicating) "dirty"
+        observations fall back to a per-dataset join that evaluates the
+        skip-aware equality against clean groups and other dirty
+        observations — O(|dirty| * |obs_ds|) instead of the reference's
+        O(|obs_ds|^2). Violation iff the equal-count != #declared measures,
+        reported as n_unequal = |obs_ds| - equal-count (:50-57).
+
+        strict_w3c=True uses the official SPARQL reading instead: every
+        declared dimension must match with BOTH values present, so an
+        observation lacking a single value for some dimension matches
+        nothing (equal-count 0) rather than skipping the dimension."""
         dcp = self.ds_comp_props()
         n_meas = (
             dcp.join(self.measures_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
@@ -610,13 +621,68 @@ class CubeValidator:
             )
         )
         base = base.withColumn("vec_h", F.xxhash64("ds", "vec"))
-        w_group = Window.partitionBy("vec_h", "ds", "vec")
-        w_ds = Window.partitionBy("ds")
+        base = base.withColumn("is_dirty", F.expr("exists(vec, x -> x is null)"))
+        if self.strict_w3c:
+            # official reading: a dirty observation matches nothing
+            w_group = Window.partitionBy("vec_h", "ds", "vec")
+            w_ds = Window.partitionBy("ds")
+            return (
+                base.withColumn(
+                    "grp",
+                    F.when(F.col("is_dirty"), F.lit(0)).otherwise(F.count("*").over(w_group)),
+                )
+                .withColumn("n_obs", F.count("*").over(w_ds))
+                .where(F.col("grp") != F.col("n_measures"))
+                .select("obs", (F.col("n_obs") - F.col("grp")).alias("n_unequal"))
+                .distinct()
+            )
+        base = self._persist(
+            base.select("obs", "ds", "vec", "vec_h", "n_measures", "is_dirty")
+        )
+        n_obs_ds = base.groupBy("ds").agg(F.count("*").alias("n_obs"))
+        clean = base.where(~F.col("is_dirty"))
+        dirty = base.where(F.col("is_dirty"))
+        cg = clean.groupBy("ds", "vec_h", "vec").agg(F.count("*").alias("c"))
+        # clean obs1: equal clean obs2 = its own vector group (incl. itself)
+        a_clean = clean.join(cg, ["ds", "vec_h", "vec"]).select(
+            "obs", "ds", F.col("c").alias("eq_n")
+        )
+        # skip-aware pair equality: unequal iff some dim has BOTH sides
+        # single-valued and the values differ (ValidatorIC17.java:85-93)
+        eq = (
+            "!exists(zip_with(vec1, vec2,"
+            " (x, y) -> x is not null and y is not null and x != y), b -> b)"
+        )
+        # dirty obs1 vs the clean groups of its dataset
+        a_dirty = (
+            dirty.select("obs", "ds", F.col("vec").alias("vec1"))
+            .join(cg.select("ds", F.col("vec").alias("vec2"), "c"), "ds")
+            .where(F.expr(eq))
+            .groupBy("obs", "ds")
+            .agg(F.sum("c").alias("eq_n"))
+        )
+        # every obs1 vs the dirty obs2 of its dataset (dirty obs1 counts
+        # itself here, mirroring the reference's self-inclusive loop)
+        b = (
+            base.select("obs", "ds", F.col("vec").alias("vec1"))
+            .join(dirty.select("ds", F.col("vec").alias("vec2")), "ds")
+            .where(F.expr(eq))
+            .groupBy("obs", "ds")
+            .agg(F.count("*").alias("eq_dirty"))
+        )
+        equals = (
+            base.select("obs", "ds", "n_measures")
+            .join(a_clean.unionByName(a_dirty), ["obs", "ds"], "left")
+            .join(b, ["obs", "ds"], "left")
+            .withColumn(
+                "eq_total",
+                F.coalesce("eq_n", F.lit(0)) + F.coalesce("eq_dirty", F.lit(0)),
+            )
+        )
         return (
-            base.withColumn("grp", F.count("*").over(w_group))
-            .withColumn("n_obs", F.count("*").over(w_ds))
-            .where(F.col("grp") != F.col("n_measures"))
-            .select("obs", (F.col("n_obs") - F.col("grp")).alias("n_unequal"))
+            equals.join(F.broadcast(n_obs_ds), "ds")
+            .where(F.col("eq_total") != F.col("n_measures"))
+            .select("obs", (F.col("n_obs") - F.col("eq_total")).alias("n_unequal"))
             .distinct()
         )
 

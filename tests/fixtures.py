@@ -510,3 +510,17 @@ def mut_ic21() -> list[tuple]:
         iri_row(EG + "o88", EG + "geo2", EG + "island2"),
         lit_row(EG + "o88", LIFE_EXP, "2.0", datatype=XSD + "decimal"),
     ]
+
+
+def mut_ic17_one_sided() -> list[tuple]:
+    """o93 carries qb:measureType but NO refArea value: under the reference's
+    one-sided skip (ValidatorIC17.java:87) it compares EQUAL to o78/o79 (the
+    dim is skipped whenever either side lacks exactly one value), making the
+    equal-set {o78, o79, o93} of size 3 != 2 measures -> all three flagged
+    with 0 unequal observations."""
+    return measure_type_cube() + [
+        iri_row(EG + "o93", qb.RDF_TYPE, qb.QB_OBSERVATION),
+        iri_row(EG + "o93", qb.QB_DATASET_PROP, EG + "ds4"),
+        iri_row(EG + "o93", qb.QB_MEASURE_TYPE, LIFE_EXP),
+        lit_row(EG + "o93", LIFE_EXP, "61.0", datatype=XSD + "decimal"),
+    ]

@@ -202,3 +202,77 @@ def test_ic12_strict_mode_keys_by_dim(spark):
 def test_ic14_strict_mode_skips_measure_type_cubes(spark):
     v = _strict_validator(spark, fx.measure_type_cube())
     assert v.ic14().collect() == []
+
+
+def test_ic17_one_sided_skip(spark):
+    """Reference parity for the one-sided skip: an obs with NO value for a
+    dim compares equal to every obs (the dim is skipped per pair), so the
+    equal-set is all 3 obs != 2 measures -> all flagged, 0 unequal each."""
+    v = _validator(spark, fx.mut_ic17_one_sided())
+    got = {(r["obs"], r["n_unequal"]) for r in v.ic17().collect()}
+    assert got == {(EG + "o78", 0), (EG + "o79", 0), (EG + "o93", 0)}
+
+
+def test_ic17_one_sided_skip_strict(spark):
+    """strict_w3c: the official reading makes a value-less obs match nothing
+    (equal-count 0, n_unequal 3); the complete pair o78/o79 still passes."""
+    store = TripleStore(terms.triples_df(spark, fx.golden_rows() + fx.mut_ic17_one_sided()))
+    normalized = normalize(store)
+    normalized.df = normalized.df.localCheckpoint(eager=True)
+    v = CubeValidator(normalized, strict_w3c=True)
+    got = {(r["obs"], r["n_unequal"]) for r in v.ic17().collect()}
+    assert got == {(EG + "o93", 3)}
+
+
+def test_ic17_brute_force_parity(spark):
+    """Property check: the set-at-a-time plan equals a literal transcription
+    of the reference's O(n^2) loop on a cube mixing clean, value-less, and
+    double-valued observations."""
+    from nospa_rdf_data_cube_validator_spark import qb as _qb
+
+    rows = fx.measure_type_cube() + fx.mut_ic17_one_sided()[len(fx.measure_type_cube()):]
+    # o94: TWO refArea values (also dirty under the skip rule)
+    rows += [
+        fx.iri_row(EG + "o94", _qb.RDF_TYPE, _qb.QB_OBSERVATION),
+        fx.iri_row(EG + "o94", _qb.QB_DATASET_PROP, EG + "ds4"),
+        fx.iri_row(EG + "o94", fx.REF_AREA, fx.AREAS[0]),
+        fx.iri_row(EG + "o94", fx.REF_AREA, fx.AREAS[1]),
+        fx.iri_row(EG + "o94", _qb.QB_MEASURE_TYPE, LIFE := fx.LIFE_EXP),
+        fx.lit_row(EG + "o94", LIFE, "50.0", datatype=fx.XSD + "decimal"),
+    ]
+    # o95/o96: clean pair on AREAS[1], sized 2 == 2 measures (not flagged)
+    for name, mt in (("o95", LIFE), ("o96", EG + "mortality")):
+        rows += [
+            fx.iri_row(EG + name, _qb.RDF_TYPE, _qb.QB_OBSERVATION),
+            fx.iri_row(EG + name, _qb.QB_DATASET_PROP, EG + "ds4"),
+            fx.iri_row(EG + name, fx.REF_AREA, fx.AREAS[1]),
+            fx.iri_row(EG + name, _qb.QB_MEASURE_TYPE, mt),
+            fx.lit_row(EG + name, mt, "1.0", datatype=fx.XSD + "decimal"),
+        ]
+    v = _validator(spark, rows)
+    got = {(r["obs"], r["n_unequal"]) for r in v.ic17().collect()}
+
+    # literal reference loop (ValidatorIC17.java:75-96) on the same data
+    obs_vals = {}
+    for o in ("o78", "o79", "o93", "o94", "o95", "o96"):
+        obs_vals[EG + o] = set()
+    area_of = {
+        EG + "o78": {fx.AREAS[0]},
+        EG + "o79": {fx.AREAS[0]},
+        EG + "o93": set(),
+        EG + "o94": {fx.AREAS[0], fx.AREAS[1]},
+        EG + "o95": {fx.AREAS[1]},
+        EG + "o96": {fx.AREAS[1]},
+    }
+    obs_list = sorted(area_of)
+    n_measures = 2
+    expect = set()
+    for o1 in obs_list:
+        unequal = 0
+        for o2 in obs_list:
+            v1, v2 = area_of[o1], area_of[o2]
+            if len(v1) == 1 and len(v2) == 1 and v1 != v2:
+                unequal += 1
+        if len(obs_list) - unequal != n_measures:
+            expect.add((o1, unequal))
+    assert got == expect
