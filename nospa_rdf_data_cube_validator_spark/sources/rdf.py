@@ -276,21 +276,137 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
     return terms.triples_df(spark, rows)
 
 
+# --------------------------------------------------------------------------
+# RDF/XML subset: driver-side parse (the reference's DEFAULT format for
+# .xml/.rdf inputs, Main.java:24-25). Schema-scale like the Turtle path.
+# --------------------------------------------------------------------------
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+class _RdfXmlParser:
+    """Subset RDF/XML parser over ElementTree: rdf:Description and typed
+    node elements, rdf:about/rdf:ID/rdf:nodeID, property elements with
+    rdf:resource / rdf:nodeID / rdf:datatype / inherited xml:lang /
+    parseType="Resource" / nested node elements, and property attributes.
+    Containers (rdf:li) and parseType="Collection"/"Literal" are out of
+    scope — bulk data belongs in N-Triples/parquet anyway."""
+
+    def __init__(self, base: str = ""):
+        self.base = base
+        self.rows: list[tuple] = []
+        self._bnode_n = 0
+
+    def _fresh_bnode(self) -> str:
+        self._bnode_n += 1
+        return f"_:x{self._bnode_n}"
+
+    @staticmethod
+    def _expand(tag: str) -> str:
+        if tag.startswith("{"):
+            ns, _, local = tag[1:].partition("}")
+            return ns + local
+        return tag
+
+    def parse(self, text: str) -> list[tuple]:
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(text)
+        if self._expand(root.tag) == _RDF_NS + "RDF":
+            nodes = list(root)
+        else:
+            nodes = [root]  # a single node element without the rdf:RDF wrapper
+        for el in nodes:
+            self._node(el, inherited_lang=root.get(f"{{{_XML_NS}}}lang", ""))
+        return self.rows
+
+    def _subject_of(self, el) -> str:
+        about = el.get(f"{{{_RDF_NS}}}about")
+        if about is not None:
+            return about
+        rid = el.get(f"{{{_RDF_NS}}}ID")
+        if rid is not None:
+            return f"{self.base}#{rid}"
+        node_id = el.get(f"{{{_RDF_NS}}}nodeID")
+        if node_id is not None:
+            return f"_:{node_id}"
+        return self._fresh_bnode()
+
+    def _node(self, el, inherited_lang: str) -> str:
+        subj = self._subject_of(el)
+        lang = el.get(f"{{{_XML_NS}}}lang", inherited_lang)
+        tag = self._expand(el.tag)
+        if tag != _RDF_NS + "Description":
+            self.rows.append(terms.iri_row(subj, qb.RDF_TYPE, tag))
+        # property attributes (non-rdf, non-xml attrs on the node element)
+        for k, v in el.attrib.items():
+            k = self._expand(k)
+            if k.startswith(_RDF_NS) or k.startswith(_XML_NS):
+                continue
+            self.rows.append(terms.lit_row(subj, k, v, "", lang))
+        for prop in el:
+            self._property(subj, prop, lang)
+        return subj
+
+    def _property(self, subj: str, prop, lang: str) -> None:
+        pred = self._expand(prop.tag)
+        lang = prop.get(f"{{{_XML_NS}}}lang", lang)
+        res = prop.get(f"{{{_RDF_NS}}}resource")
+        if res is not None:
+            self.rows.append(terms.iri_row(subj, pred, res))
+            return
+        node_id = prop.get(f"{{{_RDF_NS}}}nodeID")
+        if node_id is not None:
+            self.rows.append(terms.bnode_row(subj, pred, f"_:{node_id}"))
+            return
+        if prop.get(f"{{{_RDF_NS}}}parseType") == "Resource":
+            inner = self._fresh_bnode()
+            self.rows.append(terms.bnode_row(subj, pred, inner))
+            for sub in prop:
+                self._property(inner, sub, lang)
+            return
+        children = list(prop)
+        if children:  # nested node element(s)
+            for child in children:
+                obj = self._node(child, lang)
+                row = (
+                    terms.bnode_row(subj, pred, obj)
+                    if obj.startswith("_:")
+                    else terms.iri_row(subj, pred, obj)
+                )
+                self.rows.append(row)
+            return
+        dt = prop.get(f"{{{_RDF_NS}}}datatype")
+        lex = prop.text or ""
+        if dt is not None:
+            self.rows.append(terms.lit_row(subj, pred, lex, dt))
+        else:
+            self.rows.append(terms.lit_row(subj, pred, lex, "", lang))
+
+
+def read_rdfxml(spark: SparkSession, path: str, base: str = "") -> DataFrame:
+    with open(path, encoding="utf-8") as fh:
+        rows = _RdfXmlParser(base or f"file://{path}").parse(fh.read())
+    return terms.triples_df(spark, rows)
+
+
 def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
-    """Extension-dispatch reader (Main.java:23-43 equivalent).
+    """Extension-dispatch reader (Main.java:23-43 equivalent; RDF/XML is the
+    reference's default for unrecognized extensions, Main.java:24-25).
 
     .nt/.ntriples -> distributed N-Triples; .ttl/.n3 -> driver Turtle
-    subset; .parquet -> canonical at-rest layout. RDF/XML is not
-    implemented (no spec-complete XML RDF parser is warranted here —
-    convert upstream)."""
+    subset; .xml/.rdf/.owl -> driver RDF/XML subset; .parquet -> canonical
+    at-rest layout."""
     fmt = (fmt or path.rsplit(".", 1)[-1]).lower()
     if fmt in ("nt", "ntriple", "ntriples", "n-triple"):
         return read_ntriples(spark, path)
     if fmt in ("ttl", "turtle", "n3"):
         return read_turtle(spark, path)
+    if fmt in ("xml", "rdf", "owl", "rdfxml", "rdf/xml"):
+        return read_rdfxml(spark, path)
     if fmt == "parquet":
         return spark.read.parquet(path)
-    raise NotImplementedError(f"RDF format {fmt!r} not supported (use nt/ttl/parquet)")
+    raise NotImplementedError(f"RDF format {fmt!r} not supported (use nt/ttl/xml/parquet)")
 
 
 # --------------------------------------------------------------------------
@@ -313,3 +429,43 @@ def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> No
         F.lit("."),
     )
     triples.select(line.alias("value")).write.mode(mode).text(path)
+
+
+def write_turtle(
+    triples: DataFrame, path: str, prefixes: dict[str, str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Turtle export (S2 parity: exportModel writes any Jena serialization,
+    nonsparql/NospaValidator.java:56-67). Distributed: every part file is a
+    self-contained Turtle document — an @prefix header followed by
+    prefix-compacted triple lines (Turtle is a superset of N-Triples, so
+    with no prefixes the body is exactly the N-Triples sink's output).
+
+    Compaction is conservative: an IRI becomes pfx:local only when the
+    remainder after the namespace is a safe PN local name; everything else
+    stays in <> form, so the output is always valid."""
+    prefixes = prefixes or {}
+    line = F.concat_ws(
+        " ",
+        terms.ntriples_term_res("subj"),
+        F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+        terms.ntriples_term_obj(),
+        F.lit("."),
+    )
+    col = line
+    for pfx, ns in sorted(prefixes.items()):
+        col = F.regexp_replace(col, "<" + re.escape(ns) + r"([A-Za-z_][A-Za-z0-9_.-]*)>", pfx + r":$1")
+    rendered = triples.select(col.alias("value"))
+    header = [f"@prefix {pfx}: <{ns}> ." for pfx, ns in sorted(prefixes.items())]
+
+    def with_header(it):
+        for h in header:
+            yield (h,)
+        for row in it:
+            yield (row["value"],)
+
+    # the per-partition header needs imperative partition access (one header
+    # per output file) — the one legitimate RDD hop in this module; the
+    # result goes straight back to the DataFrame text writer for mode support
+    spark = triples.sparkSession
+    out = spark.createDataFrame(rendered.rdd.mapPartitions(with_header), "value string")
+    out.write.mode(mode).text(path)

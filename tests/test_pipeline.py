@@ -178,3 +178,93 @@ def test_ntriples_malformed_raises(spark, tmp_path):
     with _pytest.raises(Exception, match="malformed"):
         read_ntriples(spark, str(p)).count()
     assert read_ntriples(spark, str(p), on_malformed="drop").count() == 1
+
+
+def test_rdfxml_parses_cube_subset(spark, tmp_path):
+    """RDF/XML reader (the reference's default format, Main.java:24-25):
+    typed nodes, rdf:about/nodeID, rdf:resource, datatyped and lang
+    literals, parseType=Resource, nested nodes, property attributes."""
+    from nospa_rdf_data_cube_validator_spark import qb
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
+
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:qb="http://purl.org/linked-data/cube#"
+         xmlns:eg="http://example.org/ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+  <qb:DataSet rdf:about="http://example.org/ds1">
+    <qb:structure rdf:resource="http://example.org/dsd1"/>
+    <rdfs:label xml:lang="en">dataset one</rdfs:label>
+  </qb:DataSet>
+  <qb:DataStructureDefinition rdf:about="http://example.org/dsd1">
+    <qb:component rdf:parseType="Resource">
+      <qb:componentProperty rdf:resource="http://example.org/ns#refArea"/>
+    </qb:component>
+    <qb:component>
+      <rdf:Description rdf:nodeID="c2">
+        <qb:componentProperty rdf:resource="http://example.org/ns#pop"/>
+      </rdf:Description>
+    </qb:component>
+  </qb:DataStructureDefinition>
+  <rdf:Description rdf:about="http://example.org/obs1" eg:note="inline attr">
+    <rdf:type rdf:resource="http://purl.org/linked-data/cube#Observation"/>
+    <qb:dataSet rdf:resource="http://example.org/ds1"/>
+    <eg:pop rdf:datatype="http://www.w3.org/2001/XMLSchema#decimal">1.5</eg:pop>
+  </rdf:Description>
+</rdf:RDF>"""
+    p = tmp_path / "cube.rdf"
+    p.write_text(xml)
+    df = read_rdf(spark, str(p))
+    rows = {(r["subj"], r["pred"], r["obj"], r["obj_kind"]) for r in df.collect()}
+    EX = "http://example.org/"
+    assert (EX + "ds1", qb.RDF_TYPE, qb.QB_DATASET, "iri") in rows
+    assert (EX + "ds1", qb.QB_STRUCTURE, EX + "dsd1", "iri") in rows
+    from nospa_rdf_data_cube_validator_spark import terms as _t
+
+    assert (EX + "ds1", "http://www.w3.org/2000/01/rdf-schema#label",
+            _t.encode_literal("dataset one", "", "en"), "literal") in rows
+    assert (EX + "obs1", qb.RDF_TYPE, qb.QB_OBSERVATION, "iri") in rows
+    # parseType=Resource bnode carries the componentProperty
+    comp_bnodes = {o for s, p_, o, k in rows if p_ == qb.QB_COMPONENT and k == "bnode"}
+    assert len(comp_bnodes) == 2
+    cprops = {o for s, p_, o, _ in rows if p_ == qb.QB_COMPONENT_PROPERTY and s in comp_bnodes}
+    assert cprops == {EX + "ns#refArea", EX + "ns#pop"}
+    # datatyped literal and property attribute
+    assert (EX + "obs1", EX + "ns#pop", _t.encode_literal("1.5", qb.XSD_DECIMAL), "literal") in rows
+    assert (EX + "obs1", EX + "ns#note", _t.encode_literal("inline attr"), "literal") in rows
+    # end-to-end: the parsed cube validates like any other store
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+    assert CubeValidator(TripleStore(df)).ic2().count() == 0
+
+
+def test_turtle_export_roundtrip(spark, tmp_path):
+    """write_turtle -> read_turtle roundtrip on the reference fixture, with
+    prefix compaction; every part file is a self-contained Turtle doc."""
+    import glob
+
+    from nospa_rdf_data_cube_validator_spark import qb
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import write_turtle
+
+    df = read_turtle(spark, "/root/reference/test.ttl")
+    path = str(tmp_path / "ttl_out")
+    write_turtle(
+        df.repartition(3), path, prefixes={"qb": qb.PREFIX_CUBE, "skos": qb.PREFIX_SKOS}
+    )
+    parts = sorted(glob.glob(path + "/part-*"))
+    assert len(parts) == 3
+    merged_rows = []
+    for p in parts:
+        text = open(p).read()
+        assert text.startswith("@prefix qb:")
+        merged_rows += _TurtleParser_rows(text)
+    back = spark.createDataFrame(merged_rows, df.schema).dropDuplicates(["subj", "pred", "obj"])
+    k = ["subj", "pred", "obj"]
+    assert back.count() == df.count()
+    assert df.join(back, k, "left_anti").count() == 0
+
+
+def _TurtleParser_rows(text):
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import _TurtleParser
+
+    return _TurtleParser(text).parse()
