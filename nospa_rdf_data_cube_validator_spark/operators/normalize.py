@@ -47,11 +47,15 @@ def _obj_as_subj(store: TripleStore, pred: str) -> DataFrame:
     )
 
 
-def normalize_phase1(store: TripleStore) -> TripleStore:
+def normalize_phase1(store: TripleStore, defer_dedup: bool = False) -> TripleStore:
     """N1 (type closure) + N2 (property closure), Normalizer.java:26-71.
 
     Branch scans hit the (checkpointed/cached) store directly — in-memory
-    rescans are cheaper than materializing a filtered cache."""
+    rescans are cheaper than materializing a filtered cache.
+
+    defer_dedup=True returns the union WITHOUT the set-dedup shuffle (a
+    multiset); normalize() uses it to pay for one full-output dedup total
+    instead of one per phase."""
     rel = store.df
     rel_store = store
     new_parts: list[DataFrame] = []
@@ -96,7 +100,10 @@ def normalize_phase1(store: TripleStore) -> TripleStore:
     # dedupe the derived side first (it is internally highly duplicated:
     # N1a and N1b both type every observation) so the final set-union
     # shuffle carries fewer rows.
-    return store.union(derived.dropDuplicates(["subj", "pred", "obj"]))
+    derived = derived.dropDuplicates(["subj", "pred", "obj"])
+    if defer_dedup:
+        return TripleStore(store.df.unionByName(derived))
+    return store.union(derived)
 
 
 def _ds_specs(store: TripleStore) -> DataFrame:
@@ -133,13 +140,17 @@ def _emit(values: DataFrame, target_col: str) -> DataFrame:
     )
 
 
-def normalize_phase2(store: TripleStore) -> TripleStore:
+def normalize_phase2(store: TripleStore, defer_dedup: bool = False) -> TripleStore:
     """N3-N5 attachment push-down (Normalizer.java:90-189).
 
     N3: dataset-attached component values copied onto every observation of
         the dataset; N4: slice-attached component values copied from each
         slice onto its member observations; N5: any *dimension* value
         sitting on a slice pushed to member observations.
+
+    Safe over a multiset store (defer_dedup pipeline): the metadata sides
+    all carry explicit distinct()s, and duplicate observation-side rows
+    only duplicate derived rows that the final dedup removes.
     """
     df = store.df
     ds_specs = _ds_specs(store)
@@ -210,10 +221,29 @@ def normalize_phase2(store: TripleStore) -> TripleStore:
     ).select("slice", "comp", "obj", "obj_kind", "obj_datatype", "obj_lang")
     n5 = _emit(slice_obs.join(F.broadcast(dim_vals), "slice"), "obs")
 
-    return store.union(n3.unionByName(n4).unionByName(n5))
+    derived = n3.unionByName(n4).unionByName(n5)
+    if defer_dedup:
+        return TripleStore(store.df.unionByName(derived))
+    return store.union(derived)
 
 
 def normalize(store: TripleStore) -> TripleStore:
     """Phase 1 then phase 2, matching NospaValidator.normalize() ordering
-    (nonsparql/NospaValidator.java:72-78)."""
-    return normalize_phase2(normalize_phase1(store))
+    (nonsparql/NospaValidator.java:72-78).
+
+    The phases run dedup-deferred and ONE dropDuplicates finishes the set
+    semantics: the full-output dedup is the only observation-scale shuffle
+    in normalization, so paying it once instead of once per phase halves
+    the shuffle volume — the dominant cost at 100 TB. Output is identical
+    (set semantics restored at the end; phase 2 only ever *reads* metadata
+    projections that are themselves deduplicated).
+
+    Phase 1's multiset result is materialized (localCheckpoint — a narrow
+    write, no shuffle) before phase 2, which scans the store ~8 times; an
+    unmaterialized union would re-execute the phase-1 derivation per scan
+    (with the per-phase dedup the shuffle exchange used to serve that
+    reuse role — keep the materialization when touching this)."""
+    p1 = normalize_phase1(store, defer_dedup=True)
+    p1 = TripleStore(p1.df.localCheckpoint(eager=True))
+    multiset = normalize_phase2(p1, defer_dedup=True)
+    return TripleStore(multiset.df.dropDuplicates(["subj", "pred", "obj"]))

@@ -28,6 +28,7 @@ def transitive_closure(
     edges: DataFrame,
     edge_tags: tuple[str, ...] = (),
     max_iter: int = 64,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """All nodes reachable from ``seeds`` along ``edges`` (0+ hops from seeds).
 
@@ -38,13 +39,23 @@ def transitive_closure(
             edge sets for IC-20/21).
     Returns a DataFrame with the same columns as ``seeds`` containing the
     seeds and everything reachable from them.
+
+    Closures here run over code-list/hierarchy metadata, which is small
+    even at 100 TB observation scale; when both the edge set and the seed
+    set fit under ``driver_threshold`` rows (a driver-MEMORY bound: ~tens
+    of MB collected), a driver-side BFS replaces the distributed fixpoint —
+    identical output without the per-iteration job/localCheckpoint
+    overhead. Larger inputs take the distributed loop below.
     """
     tag_cols = [c for c in seeds.columns if c != "node"]
-    reached = seeds.dropDuplicates().localCheckpoint(eager=True)
-    frontier = reached
     # The edge set is re-joined every iteration: materialize it once instead
     # of recomputing its upstream plan per hop.
     edges = edges.localCheckpoint(eager=True)
+    seeds_d = seeds.dropDuplicates().localCheckpoint(eager=True)
+    if edges.count() <= driver_threshold and seeds_d.count() <= driver_threshold:
+        return _closure_on_driver(seeds_d, edges, tag_cols, list(edge_tags))
+    reached = seeds_d
+    frontier = reached
     for it in range(max_iter):
         cond = [frontier["node"] == edges["src"]]
         for t in edge_tags:
@@ -62,6 +73,43 @@ def transitive_closure(
         if (it + 1) % CHECKPOINT_EVERY == 0:
             reached = reached.localCheckpoint(eager=True)
     return reached
+
+
+def _closure_on_driver(
+    seeds: DataFrame, edges: DataFrame, tag_cols: list[str], edge_tags: list[str]
+) -> DataFrame:
+    """Exact driver-side BFS over collected (metadata-scale) seeds/edges;
+    same (tags..., node) reachable set as the distributed fixpoint."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    for r in edges.collect():
+        adj[(tuple(r[t] for t in edge_tags), r["src"])].append(r["dst"])
+    tag_pos = {c: i for i, c in enumerate(tag_cols)}
+    reached: set = set()
+    frontier: list = []
+    for r in seeds.collect():
+        key = tuple(r[c] for c in tag_cols) + (r["node"],)
+        if key not in reached:
+            reached.add(key)
+            frontier.append(key)
+    while frontier:
+        nxt = []
+        for item in frontier:
+            tags, node = item[:-1], item[-1]
+            ekey = (tuple(tags[tag_pos[t]] for t in edge_tags), node)
+            for dst in adj.get(ekey, ()):
+                cand = tags + (dst,)
+                if cand not in reached:
+                    reached.add(cand)
+                    nxt.append(cand)
+        frontier = nxt
+    cols = seeds.columns
+    out = [
+        tuple(dict(zip(tag_cols, item[:-1]), node=item[-1])[c] for c in cols)
+        for item in sorted(reached)
+    ]
+    return seeds.sparkSession.createDataFrame(out, seeds.schema)
 
 
 def reachable_pairs(

@@ -268,3 +268,32 @@ def _TurtleParser_rows(text):
     from nospa_rdf_data_cube_validator_spark.sources.rdf import _TurtleParser
 
     return _TurtleParser(text).parse()
+
+
+def test_bucketed_layout_skips_obs_shuffle(spark, tmp_path):
+    """The bucketed snapshot's HashPartitioning(subj) must satisfy the
+    per-observation aggregation's clustering, so the physical plan for the
+    IC hot path's (subj, pred) groupBy over the bucketed table contains NO
+    Exchange — the 100 TB scan-without-reshuffle property."""
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import write_bucketed
+
+    df = read_turtle(spark, "/root/reference/test.ttl")
+    spark.sql("DROP TABLE IF EXISTS t_bucketed")
+    write_bucketed(df, "t_bucketed", buckets=4)
+    back = spark.table("t_bucketed")
+    assert back.count() == df.count()
+    agg = back.groupBy("subj", "pred").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # an unbucketed read of the same data DOES need the exchange
+    plain_path = str(tmp_path / "plain")
+    df.write.parquet(plain_path)
+    plan2 = (
+        spark.read.parquet(plain_path)
+        .groupBy("subj", "pred")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan2
