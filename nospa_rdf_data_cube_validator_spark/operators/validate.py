@@ -41,12 +41,23 @@ class CubeValidator:
     def __init__(self, store: TripleStore, strict_w3c: bool = False):
         """strict_w3c=False (default) reproduces the NoSPA reference quirks
         (SURVEY.md §7.0); True switches the quirk-bearing checks to the
-        official W3C SPARQL semantics:
+        official W3C SPARQL semantics (the reference's SPARQL twin,
+        sparql/IntegrityConstraint.java:15-305):
 
+        - IC-6: every componentRequired=false spec is checked, not only
+          those referenced from some qb:component edge,
         - IC-12: duplicate key becomes the (dimension -> value) pairing
           instead of NoSPA's collapsed value *set*,
         - IC-14: measureType cubes are skipped instead of checked against
-          the unfiltered component set.
+          the unfiltered component set,
+        - IC-17: a dim with != 1 values fails the match instead of being
+          skipped per pair.
+
+        The remaining documented divergences need no flag: IC-8's and
+        IC-19's cross-DSD/cross-dataset accumulation in the reference is
+        HashMap-iteration-order nondeterministic, and this engine's
+        per-(dsd|dataset) pairing IS the official reading — the only
+        deterministic one.
         """
         self.store = store
         self.strict_w3c = strict_w3c
@@ -209,12 +220,17 @@ class CubeValidator:
         """IC-6 Only attributes may be optional (ValidatorIC6.java:21-38) -> (comp_prop).
 
         Scope quirk kept: only component specs that are the object of some
-        qb:component edge are checked (ValidatorIC6.java:27-28)."""
+        qb:component edge are checked (ValidatorIC6.java:27-28);
+        strict_w3c=True checks every spec carrying componentRequired false,
+        matching the official SPARQL IC-6 (no qb:component guard)."""
         optional = star_fetch(
             self.store, [(qb.QB_COMPONENT_REQUIRED, terms.FALSE)], qb.QB_COMPONENT_PROPERTY
         ).select(F.col("subj").alias("spec"), F.col("obj").alias("comp_prop"))
-        referenced = self.store.objects_of(qb.QB_COMPONENT).select(F.col("obj").alias("spec"))
-        props = optional.join(referenced, "spec", "left_semi").select("comp_prop").distinct()
+        if self.strict_w3c:
+            props = optional.select("comp_prop").distinct()
+        else:
+            referenced = self.store.objects_of(qb.QB_COMPONENT).select(F.col("obj").alias("spec"))
+            props = optional.join(referenced, "spec", "left_semi").select("comp_prop").distinct()
         return props.join(
             self.attrs_defined().withColumnRenamed("subj", "comp_prop"), "comp_prop", "left_anti"
         )

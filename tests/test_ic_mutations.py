@@ -276,3 +276,21 @@ def test_ic17_brute_force_parity(spark):
         if len(obs_list) - unequal != n_measures:
             expect.add((o1, unequal))
     assert got == expect
+
+
+def test_ic6_strict_checks_unreferenced_specs(spark):
+    """An optional non-attribute spec NOT referenced by any qb:component is
+    invisible under the NoSPA scope quirk (ValidatorIC6.java:27-28) but
+    flagged by the official SPARQL IC-6 (strict_w3c)."""
+    from nospa_rdf_data_cube_validator_spark import qb as _qb
+
+    rows = [
+        fx.lit_row("_:orphan", _qb.QB_COMPONENT_REQUIRED, "false", fx.XSD + "boolean"),
+        fx.iri_row("_:orphan", _qb.QB_COMPONENT_PROPERTY, EG + "notAnAttribute"),
+    ]
+    store = TripleStore(terms.triples_df(spark, fx.golden_rows() + rows))
+    normalized = normalize(store)
+    normalized.df = normalized.df.localCheckpoint(eager=True)
+    assert EG + "notAnAttribute" not in _col_set(CubeValidator(normalized).ic6(), "comp_prop")
+    strict = CubeValidator(normalized, strict_w3c=True)
+    assert EG + "notAnAttribute" in _col_set(strict.ic6(), "comp_prop")
