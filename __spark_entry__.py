@@ -338,6 +338,13 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling explode shape over the 'video' docs (byte-offset frame
+    stand-ins; the decode itself stays a documented stub)."""
+    media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(media, every_n_bytes=64)
+
+
 # --- events ------------------------------------------------------------------
 def q_events_sessionize(spark, sf_dir):
     """Sessionization (30-min gap) — the batch shape of the streaming op."""
@@ -950,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "multimodal": q_multimodal,
+        "multimodal_frames": q_multimodal_frames,
         "cube_ic1": q_cube_ic1,
         "cube_ic2": q_cube_ic2,
         "cube_ic3": q_cube_ic3,
@@ -1265,6 +1273,13 @@ linked AS (
                    CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
                    md5(text) AS checksum
             FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id, frame_idx
+            FROM documents,
+                 LATERAL unnest(range(0, greatest(octet_length(encode(text)) // 64 - 1, 0) + 1))
+                   AS t(frame_idx)
+            WHERE doc_id % 3 = 2
         """,
         "cube_ic1": LI_CTE
         + """
