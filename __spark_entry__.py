@@ -850,6 +850,40 @@ def _slice_validator(spark, sf_dir):
     return CubeValidator(TripleStore(_slice_cube(spark, sf_dir)))
 
 
+def _enc_lineitem_validator(spark, sf_dir):
+    """The ENCODED engine over the same seeded lineitem cube: int64 term ids
+    (order-preserving dictionary), validators unchanged, outputs decoded —
+    proves the dictionary-encoded path hash-exact under the same oracles
+    as the string engine."""
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+    from nospa_rdf_data_cube_validator_spark.plans.encoding import encode_store
+
+    enc = encode_store(TripleStore(_lineitem_cube(spark, sf_dir)), parts=8)
+    return CubeValidator(enc), enc
+
+
+def q_enc_cube_ic1(spark, sf_dir):
+    """Encoded CubeValidator.ic1 — same oracle as cube_ic1."""
+    v, enc = _enc_lineitem_validator(spark, sf_dir)
+    return enc.decode(v.ic1().select("obs", "n_datasets"), ["obs"]).select(
+        "obs", "n_datasets"
+    )
+
+
+def q_enc_cube_ic11(spark, sf_dir):
+    """Encoded CubeValidator.ic11 — same oracle as cube_ic11."""
+    v, enc = _enc_lineitem_validator(spark, sf_dir)
+    return enc.decode(v.ic11(), ["obs", "dim"]).select("obs", "dim")
+
+
+def q_enc_cube_ic12(spark, sf_dir):
+    """Encoded CubeValidator.ic12 — same oracle as cube_ic12 (the min-obs
+    representative pick survives encoding via the order-preserving ids)."""
+    v, enc = _enc_lineitem_validator(spark, sf_dir)
+    return enc.decode(v.ic12(), ["obs"]).select("obs")
+
+
 def q_cube_ic2(spark, sf_dir):
     """CubeValidator.ic2 (unique DSD) -> (ds, n_dsds)."""
     return _slice_validator(spark, sf_dir).ic2().select("ds", "n_dsds")
@@ -969,6 +1003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_ic9": q_cube_ic9,
         "cube_ic10": q_cube_ic10,
         "cube_ic18": q_cube_ic18,
+        "enc_cube_ic1": q_enc_cube_ic1,
+        "enc_cube_ic11": q_enc_cube_ic11,
+        "enc_cube_ic12": q_enc_cube_ic12,
         "cube_ic11": q_cube_ic11,
         "cube_ic12": q_cube_ic12,
         "cube_ic13": q_cube_ic13,
@@ -1382,6 +1419,28 @@ linked AS (
             WHERE (l_orderkey * 13 + l_linenumber) % 401 = 0
         """,
         "cube_ic12": LI_CTE
+        + """
+            , complete AS (
+              SELECT obs, ds,
+                     array_to_string(list_sort(list_distinct([v_part, v_supp, v_qty])), chr(1)) AS k
+              FROM li WHERE v_supp IS NOT NULL
+            ),
+            flagged AS (
+              SELECT obs, min(obs) OVER (PARTITION BY ds, k) AS m,
+                     count(*) OVER (PARTITION BY ds, k) AS c
+              FROM complete
+            )
+            SELECT obs FROM flagged WHERE c > 1 AND obs != m
+        """,
+        "enc_cube_ic1": LI_CTE
+        + """
+            SELECT obs, 2 AS n_datasets FROM li WHERE extra_ds = 1
+        """,
+        "enc_cube_ic11": LI_CTE
+        + """
+            SELECT obs, 'http://example.org/li#dimSupp' AS dim FROM li WHERE v_supp IS NULL
+        """,
+        "enc_cube_ic12": LI_CTE
         + """
             , complete AS (
               SELECT obs, ds,

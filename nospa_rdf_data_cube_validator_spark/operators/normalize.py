@@ -22,12 +22,13 @@ from .. import qb, terms
 from ..plans.algebra import TripleStore, path_join, star_fetch
 
 
-def _type_rows(subjects: DataFrame, rdf_class: str) -> DataFrame:
-    """(subj) -> (subj, rdf:type, <class>) triple rows."""
+def _type_rows(store: TripleStore, subjects: DataFrame, rdf_class: str) -> DataFrame:
+    """(subj) -> (subj, rdf:type, <class>) triple rows (store.lit keeps the
+    emitted constants in the store's term representation — string or id)."""
     return subjects.select(
         F.col("subj"),
-        F.lit(qb.RDF_TYPE).alias("pred"),
-        F.lit(rdf_class).alias("obj"),
+        store.lit(qb.RDF_TYPE).alias("pred"),
+        store.lit(rdf_class).alias("obj"),
         F.lit(terms.KIND_IRI).alias("obj_kind"),
         F.lit(None).cast("string").alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"),
@@ -41,7 +42,9 @@ def _obj_as_subj(store: TripleStore, pred: str) -> DataFrame:
     (Normalizer.java:28,35,107): literals are never typed.
     """
     return (
-        store.df.where((F.col("pred") == pred) & (F.col("obj_kind") != terms.KIND_LITERAL))
+        store.df.where(
+            (F.col("pred") == store.lit(pred)) & (F.col("obj_kind") != terms.KIND_LITERAL)
+        )
         .select(F.col("obj").alias("subj"))
         .distinct()
     )
@@ -62,16 +65,18 @@ def normalize_phase1(store: TripleStore, defer_dedup: bool = False) -> TripleSto
 
     # N1a: ?slice qb:observation ?o  =>  ?o a qb:Observation
     new_parts.append(
-        _type_rows(_obj_as_subj(rel_store, qb.QB_OBSERVATION_PROP), qb.QB_OBSERVATION)
+        _type_rows(store, _obj_as_subj(rel_store, qb.QB_OBSERVATION_PROP), qb.QB_OBSERVATION)
     )
 
     # N1b: ?o qb:dataSet ?ds  =>  ?o a qb:Observation ; ?ds a qb:DataSet
-    ds_edges = rel.where(F.col("pred") == qb.QB_DATASET_PROP)
-    new_parts.append(_type_rows(ds_edges.select("subj").distinct(), qb.QB_OBSERVATION))
-    new_parts.append(_type_rows(_obj_as_subj(rel_store, qb.QB_DATASET_PROP), qb.QB_DATASET))
+    ds_edges = rel.where(F.col("pred") == store.lit(qb.QB_DATASET_PROP))
+    new_parts.append(_type_rows(store, ds_edges.select("subj").distinct(), qb.QB_OBSERVATION))
+    new_parts.append(
+        _type_rows(store, _obj_as_subj(rel_store, qb.QB_DATASET_PROP), qb.QB_DATASET)
+    )
 
     # N1c: ?ds qb:slice ?s  =>  ?s a qb:Slice
-    new_parts.append(_type_rows(_obj_as_subj(rel_store, qb.QB_SLICE_PROP), qb.QB_SLICE))
+    new_parts.append(_type_rows(store, _obj_as_subj(rel_store, qb.QB_SLICE_PROP), qb.QB_SLICE))
 
     # N2: ?spec qb:dimension|measure|attribute ?p  =>
     #     ?p a qb:{Dimension,Measure,Attribute}Property ;
@@ -81,12 +86,12 @@ def normalize_phase1(store: TripleStore, defer_dedup: bool = False) -> TripleSto
         (qb.QB_MEASURE, qb.QB_MEASURE_PROPERTY),
         (qb.QB_ATTRIBUTE, qb.QB_ATTRIBUTE_PROPERTY),
     ):
-        edges = rel.where(F.col("pred") == comp_pred)
-        new_parts.append(_type_rows(_obj_as_subj(rel_store, comp_pred), comp_class))
+        edges = rel.where(F.col("pred") == store.lit(comp_pred))
+        new_parts.append(_type_rows(store, _obj_as_subj(rel_store, comp_pred), comp_class))
         new_parts.append(
             edges.select(
                 "subj",
-                F.lit(qb.QB_COMPONENT_PROPERTY).alias("pred"),
+                store.lit(qb.QB_COMPONENT_PROPERTY).alias("pred"),
                 "obj",
                 "obj_kind",
                 "obj_datatype",
@@ -102,8 +107,13 @@ def normalize_phase1(store: TripleStore, defer_dedup: bool = False) -> TripleSto
     # shuffle carries fewer rows.
     derived = derived.dropDuplicates(["subj", "pred", "obj"])
     if defer_dedup:
-        return TripleStore(store.df.unionByName(derived))
+        return _same_kind(store, store.df.unionByName(derived))
     return store.union(derived)
+
+
+def _same_kind(store: TripleStore, df: DataFrame) -> TripleStore:
+    """A store of the same representation (string or encoded) over df."""
+    return store.with_df(df) if hasattr(store, "with_df") else TripleStore(df)
 
 
 def _ds_specs(store: TripleStore) -> DataFrame:
@@ -159,12 +169,15 @@ def normalize_phase2(store: TripleStore, defer_dedup: bool = False) -> TripleSto
         F.col("subj").alias("obs"), F.col("obj").alias("ds")
     )
     ds_slice = (
-        df.where((F.col("pred") == qb.QB_SLICE_PROP) & (F.col("obj_kind") != terms.KIND_LITERAL))
+        df.where(
+            (F.col("pred") == store.lit(qb.QB_SLICE_PROP))
+            & (F.col("obj_kind") != terms.KIND_LITERAL)
+        )
         .select(F.col("subj").alias("ds"), F.col("obj").alias("slice"))
     )
     slice_obs = (
         df.where(
-            (F.col("pred") == qb.QB_OBSERVATION_PROP)
+            (F.col("pred") == store.lit(qb.QB_OBSERVATION_PROP))
             & (F.col("obj_kind") != terms.KIND_LITERAL)
         )
         .select(F.col("subj").alias("slice"), F.col("obj").alias("obs"))
@@ -223,7 +236,7 @@ def normalize_phase2(store: TripleStore, defer_dedup: bool = False) -> TripleSto
 
     derived = n3.unionByName(n4).unionByName(n5)
     if defer_dedup:
-        return TripleStore(store.df.unionByName(derived))
+        return _same_kind(store, store.df.unionByName(derived))
     return store.union(derived)
 
 
@@ -244,6 +257,6 @@ def normalize(store: TripleStore) -> TripleStore:
     (with the per-phase dedup the shuffle exchange used to serve that
     reuse role — keep the materialization when touching this)."""
     p1 = normalize_phase1(store, defer_dedup=True)
-    p1 = TripleStore(p1.df.localCheckpoint(eager=True))
+    p1 = _same_kind(p1, p1.df.localCheckpoint(eager=True))
     multiset = normalize_phase2(p1, defer_dedup=True)
-    return TripleStore(multiset.df.dropDuplicates(["subj", "pred", "obj"]))
+    return _same_kind(multiset, multiset.df.dropDuplicates(["subj", "pred", "obj"]))

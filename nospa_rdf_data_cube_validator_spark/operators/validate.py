@@ -34,6 +34,11 @@ from ..plans.closure import transitive_closure
 _EMPTY_STR_ARRAY = "array()"
 
 
+def _sql_term(v) -> str:
+    """Render a term VALUE (string URI or int64 id) as a SQL literal."""
+    return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+
+
 class CubeValidator:
     """Validator over a normalized triples store (cf. README.md:73 of the
     reference: validation assumes a normalized cube)."""
@@ -305,7 +310,8 @@ class CubeValidator:
             )
             grouped = ds_dims.groupBy("ds").agg(F.sort_array(F.collect_set("prop")).alias("dims"))
             return self.ds_list().join(grouped, "ds", "left").withColumn(
-                "dims", F.coalesce("dims", F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
+                "dims",
+                F.coalesce("dims", F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>")),
             )
 
         return self._cached("ds_dims_arr", build)
@@ -327,14 +333,15 @@ class CubeValidator:
             # the reference's per-dataset iteration).
             preds = all_dims.unionByName(
                 self.store.df.sparkSession.createDataFrame(
-                    [(qb.QB_DATASET_PROP,)], "pred string"
+                    [(self.store.term_value(qb.QB_DATASET_PROP),)],
+                    f"pred {self.store.term_sql_type}",
                 )
             )
             cand = self.store.df.join(F.broadcast(preds.distinct()), "pred", "left_semi")
             stats = cand.groupBy(F.col("subj").alias("obs"), "pred").agg(
                 F.min("obj").alias("min_val"),
                 F.collect_set(
-                    F.when(F.col("pred") == qb.QB_DATASET_PROP, F.col("obj"))
+                    F.when(F.col("pred") == self.store.lit(qb.QB_DATASET_PROP), F.col("obj"))
                 ).alias("ds_vals"),
             )
             per_obs = stats.groupBy("obs").agg(
@@ -345,7 +352,8 @@ class CubeValidator:
                 per_obs.select(
                     "obs",
                     F.expr(
-                        f"filter(pvs_all, x -> x.pred != '{qb.QB_DATASET_PROP}')"
+                        "filter(pvs_all, x -> x.pred != "
+                        f"{_sql_term(self.store.term_value(qb.QB_DATASET_PROP))})"
                     ).alias("pvs"),
                     F.explode("ds_list").alias("ds"),
                 )
@@ -386,7 +394,10 @@ class CubeValidator:
         base = self._ic11_12_base()
         if self.strict_w3c:
             # official semantics: key by the full (dim, value) pairing
-            key_expr = "array_sort(transform(relevant, x -> concat(x.pred, '\\u0000', x.min_val)))"
+            key_expr = (
+                "array_sort(transform(relevant, x -> concat(cast(x.pred as string),"
+                " '\\u0000', cast(x.min_val as string))))"
+            )
         else:
             key_expr = "array_sort(array_distinct(transform(relevant, x -> x.min_val)))"
         complete = base.where(F.size("missing") == 0).withColumn("dim_key", F.expr(key_expr))
@@ -418,7 +429,10 @@ class CubeValidator:
             .join(F.broadcast(arr), "ds", "inner")
             .join(per_obs, "obs", "left")
             .withColumn(
-                "present", F.coalesce("present", F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
+                "present",
+                F.coalesce(
+                    "present", F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>")
+                ),
             )
             .withColumn("missing", F.expr("array_except(props, present)"))
             .where(F.size("missing") > 0)
@@ -452,7 +466,7 @@ class CubeValidator:
         return self._cached(
             "mt_ds",
             lambda: self.ds_comp_props()
-            .where(F.col("prop") == qb.QB_MEASURE_TYPE)
+            .where(F.col("prop") == self.store.lit(qb.QB_MEASURE_TYPE))
             .select("ds")
             .distinct(),
         )
@@ -493,7 +507,10 @@ class CubeValidator:
             )
             grouped = meas.groupBy("ds").agg(F.sort_array(F.collect_set("prop")).alias("measures"))
             return self.measure_type_datasets().join(grouped, "ds", "left").withColumn(
-                "measures", F.coalesce("measures", F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
+                "measures",
+                F.coalesce(
+                    "measures", F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>")
+                ),
             )
 
         return self._cached("ds_measures_arr", build)
@@ -504,7 +521,7 @@ class CubeValidator:
         def build():
             obs_mt_cube = self.obs_ds().join(self.measure_type_datasets(), "ds", "left_semi")
             mt_stats = (
-                self.store.df.where(F.col("pred") == qb.QB_MEASURE_TYPE)
+                self.store.df.where(F.col("pred") == self.store.lit(qb.QB_MEASURE_TYPE))
                 .groupBy(F.col("subj").alias("obs"))
                 .agg(
                     F.sort_array(F.collect_set("obj")).alias("measure_types"),
@@ -519,7 +536,10 @@ class CubeValidator:
                 obs_mt_cube.join(mt_stats, "obs", "left")
                 .withColumn(
                     "measure_types",
-                    F.coalesce("measure_types", F.expr(_EMPTY_STR_ARRAY).cast("array<string>")),
+                    F.coalesce(
+                        "measure_types",
+                        F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>"),
+                    ),
                 )
                 .withColumn("n_mt", F.coalesce("n_mt", F.lit(0)))
                 .withColumn("mt", F.when(F.col("n_mt") == 1, F.col("measure_types")[0]))
@@ -591,7 +611,10 @@ class CubeValidator:
             .agg(F.countDistinct("prop").alias("n_measures"))
         )
         ds_dims17 = (
-            dcp.where((F.col("prop_kind") == terms.KIND_IRI) & (F.col("prop") != qb.QB_MEASURE_TYPE))
+            dcp.where(
+                (F.col("prop_kind") == terms.KIND_IRI)
+                & (F.col("prop") != self.store.lit(qb.QB_MEASURE_TYPE))
+            )
             .join(self.dims_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
             .select("ds", "prop")
             .distinct()
@@ -603,7 +626,10 @@ class CubeValidator:
                 "ds",
                 "left",
             )
-            .withColumn("dims", F.coalesce("dims", F.expr(_EMPTY_STR_ARRAY).cast("array<string>")))
+            .withColumn(
+                "dims",
+                F.coalesce("dims", F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>")),
+            )
             .join(n_meas, "ds", "left")
             .withColumn("n_measures", F.coalesce("n_measures", F.lit(0)))
         )
@@ -624,7 +650,8 @@ class CubeValidator:
                 F.coalesce(
                     "pvs",
                     F.expr("array()").cast(
-                        "array<struct<pred:string,n_vals:bigint,min_val:string>>"
+                        f"array<struct<pred:{self.store.term_sql_type},n_vals:bigint,"
+                        f"min_val:{self.store.term_sql_type}>>"
                     ),
                 ),
             )

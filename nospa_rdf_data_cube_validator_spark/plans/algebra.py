@@ -34,24 +34,42 @@ class TripleStore:
     returns a new store (union + dedup, matching Jena's set semantics).
     """
 
+    #: SQL type of the subj/pred/obj columns; EncodedTripleStore overrides
+    #: with "bigint" so type-parametric casts (empty arrays, struct
+    #: signatures) stay correct in both representations.
+    term_sql_type = "string"
+
     def __init__(self, df: DataFrame):
         self.df = df
 
+    # -- term-literal indirection -----------------------------------------
+    # Validators/normalizer reference RDF vocabulary by URI string; the
+    # encoded store translates these to dictionary ids. Keeping the
+    # translation here means every operator works unchanged on both
+    # representations (same column NAMES, different column types).
+    def term_value(self, term: str):
+        """The comparable value of a constant term (identity here)."""
+        return term
+
+    def lit(self, term: str) -> F.Column:
+        """A literal Column comparable against subj/pred/obj."""
+        return F.lit(self.term_value(term))
+
     # -- P1/P2: sigma(pred[, obj]) -> pi(subj) ---------------------------
     def subjects_with(self, pred: str, obj: str | None = None) -> DataFrame:
-        cond = F.col("pred") == pred
+        cond = F.col("pred") == self.lit(pred)
         if obj is not None:
-            cond = cond & (F.col("obj") == obj)
+            cond = cond & (F.col("obj") == self.lit(obj))
         return self.df.where(cond).select("subj").distinct()
 
     # -- P4: sigma(pred) -> pi(obj) ---------------------------------------
     def objects_of(self, pred: str) -> DataFrame:
-        return self.df.where(F.col("pred") == pred).select("obj", "obj_kind").distinct()
+        return self.df.where(F.col("pred") == self.lit(pred)).select("obj", "obj_kind").distinct()
 
     # -- the (subj, obj) hop for one predicate ----------------------------
     def p(self, pred: str, with_kind: bool = False) -> DataFrame:
         cols = ["subj", "obj"] + (["obj_kind"] if with_kind else [])
-        return self.df.where(F.col("pred") == pred).select(*cols)
+        return self.df.where(F.col("pred") == self.lit(pred)).select(*cols)
 
     def typed(self, rdf_class: str) -> DataFrame:
         """Subjects with rdf:type <rdf_class>: one-column DF ``subj``."""

@@ -1,0 +1,95 @@
+"""Dictionary-encoded engine: exactness parity with the string engine.
+
+The encoded store must be a drop-in: same normalization closure, same 21
+violation sets (value-identical after decode), with min()-selections
+preserved by the order-preserving dictionary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nospa_rdf_data_cube_validator_spark import terms
+from nospa_rdf_data_cube_validator_spark.operators.normalize import normalize
+from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+from nospa_rdf_data_cube_validator_spark.plans.encoding import (
+    build_dictionary,
+    encode_store,
+)
+
+from . import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    """(string CubeValidator, encoded CubeValidator, encoded store) over the
+    golden fixture + every mutation — one normalize per engine."""
+    rows = (
+        fx.golden_rows()
+        + fx.mut_ic17()
+        + fx.mut_ic15()
+        + fx.mut_ic16()
+        + fx.mut_ic18()
+    )
+    raw = TripleStore(terms.triples_df(spark, rows))
+    s_norm = normalize(raw)
+    s_norm.df = s_norm.df.localCheckpoint(eager=True)
+    enc = encode_store(raw, parts=4)
+    e_norm = normalize(enc)
+    e_norm.df = e_norm.df.localCheckpoint(eager=True)
+    return CubeValidator(s_norm), CubeValidator(e_norm), e_norm
+
+
+def test_dictionary_is_order_preserving(spark):
+    df = terms.triples_df(spark, fx.golden_rows())
+    d = build_dictionary(df, parts=4)
+    rows = sorted((r["term"], r["id"]) for r in d.collect())
+    ids = [i for _, i in rows]
+    assert ids == sorted(ids), "ids must be ranked by term string order"
+    assert ids == list(range(len(ids))), "ids must be dense ranks"
+
+
+def test_encoded_normalization_row_parity(spark, engines):
+    sv, ev, e_store = engines
+    assert sv.store.df.count() == ev.store.df.count()
+    # decode the whole encoded store and compare the triple sets exactly
+    dec = e_store.decode(ev.store.df, ["subj", "pred", "obj"]).select(
+        "subj", "pred", "obj"
+    )
+    k = ["subj", "pred", "obj"]
+    sdf = sv.store.df.select(*k)
+    assert sdf.join(dec, k, "left_anti").count() == 0
+    assert dec.join(sdf, k, "left_anti").count() == 0
+
+
+def test_encoded_all_21_ics_value_parity(engines):
+    sv, ev, e_store = engines
+    s_all, e_all = sv.validate_all(), ev.validate_all()
+    scalar_cols = {
+        "ic1": ["obs"], "ic2": ["ds"], "ic3": ["dsd"], "ic4": ["dim"],
+        "ic5": ["dim"], "ic6": ["comp_prop"], "ic7": ["slice_key"],
+        "ic8": ["comp_prop"], "ic9": ["slice"], "ic10": ["slice", "dim"],
+        "ic11": ["obs", "dim"], "ic12": ["obs"], "ic13": ["obs", "attr"],
+        "ic14": ["obs", "measure"], "ic15": ["obs"], "ic16": ["obs"],
+        "ic17": ["obs"], "ic18": ["ds", "obs"], "ic19": ["value"],
+        "ic20": ["value"], "ic21": ["value"],
+    }
+    for name, cols in scalar_cols.items():
+        s_rows = {tuple(r[c] for c in cols) for r in s_all[name].select(*cols).collect()}
+        e_dec = e_store.decode(e_all[name].select(*cols), cols)
+        e_rows = {tuple(r[c] for c in cols) for r in e_dec.collect()}
+        assert s_rows == e_rows, f"{name}: {s_rows ^ e_rows}"
+
+
+def test_encoded_ic12_representative_choice_matches(spark):
+    """The IC-12 'all but the MINIMUM obs' pick must survive encoding —
+    guaranteed only because the dictionary is order-preserving."""
+    rows = fx.golden_rows() + fx.mut_ic12()
+    raw = TripleStore(terms.triples_df(spark, rows))
+    s_norm = normalize(raw)
+    s_norm.df = s_norm.df.localCheckpoint(eager=True)
+    e_norm = normalize(encode_store(raw, parts=4))
+    e_norm.df = e_norm.df.localCheckpoint(eager=True)
+    s = {r["obs"] for r in CubeValidator(s_norm).ic12().collect()}
+    e_df = CubeValidator(e_norm).ic12()
+    e = {r["obs"] for r in e_norm.decode(e_df, ["obs"]).collect()}
+    assert s == e and len(s) > 0
