@@ -277,8 +277,16 @@ def test_bucketed_layout_skips_obs_shuffle(spark, tmp_path):
     Exchange — the 100 TB scan-without-reshuffle property."""
     from nospa_rdf_data_cube_validator_spark.sources.rdf import write_bucketed
 
+    import shutil
+
     df = read_turtle(spark, "/root/reference/test.ttl")
     spark.sql("DROP TABLE IF EXISTS t_bucketed")
+    # a previous SESSION's managed-table directory survives the catalog
+    # (in-memory catalog + on-disk warehouse): remove the orphan location
+    shutil.rmtree(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:") + "/t_bucketed",
+        ignore_errors=True,
+    )
     write_bucketed(df, "t_bucketed", buckets=4)
     back = spark.table("t_bucketed")
     assert back.count() == df.count()
