@@ -97,6 +97,15 @@ def main() -> None:
     )
 
     queries = entry_mod.queries()
+    # Warm the session before timing: boot the Arrow Python workers and
+    # touch the parquet inputs once. The headline measures steady-state
+    # query throughput; JVM/worker cold-start is a per-session constant
+    # that the first-listed query would otherwise absorb (~8s at local[32]).
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.mapInPandas(lambda it: it, schema=warm.schema).count()
+    for t in ("orders", "lineitem", "documents", "embeddings", "events", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
