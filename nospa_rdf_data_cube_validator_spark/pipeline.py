@@ -196,9 +196,18 @@ def run_pipeline(
     transcripts: DataFrame,
     workdir: str,
     validate: bool = True,
+    encoded: bool = False,
 ) -> dict:
     """Full KG-construction run. Returns dict with stage DataFrames and
-    (optionally) the violation DataFrames of all 21 ICs."""
+    (optionally) the violation DataFrames of all 21 ICs.
+
+    encoded=True adds the dictionary-encoded at-rest layout: two more
+    resumable snapshots (``term_dict``: order-preserving int64 term ids;
+    ``triples_encoded``: the int64 triple table — the form a 100 TB
+    deployment keeps at rest, encode once / validate many). Validation
+    then runs entirely on ids; the returned violations are id-space, with
+    ``result["store"]`` exposing ``decode()`` (violation sets are small, so
+    decode broadcasts them against the dictionary at report time)."""
     runner = StageRunner(spark, workdir)
 
     transcripts_df = runner.run("transcripts", lambda: transcripts)
@@ -216,8 +225,19 @@ def run_pipeline(
         "canonical": canonical,
         "triples": triples,
     }
+    if encoded:
+        from .plans.encoding import EncodedTripleStore, build_dictionary, encode_triples
+
+        term_dict = runner.run("term_dict", lambda: build_dictionary(triples))
+        enc = runner.run("triples_encoded", lambda: encode_triples(triples, term_dict))
+        result["term_dict"] = term_dict
+        result["triples_encoded"] = enc
+        base_store: TripleStore = EncodedTripleStore(enc, term_dict)
+    else:
+        base_store = TripleStore(triples)
     if validate:
-        store = normalize(TripleStore(triples))
+        store = normalize(base_store)
         store.df = store.df.localCheckpoint(eager=True)
+        result["store"] = store
         result["violations"] = CubeValidator(store).validate_all()
     return result

@@ -93,3 +93,31 @@ def test_encoded_ic12_representative_choice_matches(spark):
     e_df = CubeValidator(e_norm).ic12()
     e = {r["obs"] for r in e_norm.decode(e_df, ["obs"]).collect()}
     assert s == e and len(s) > 0
+
+
+def test_pipeline_encoded_snapshots_and_resume(spark, tmp_path):
+    """encoded=True adds term_dict + triples_encoded snapshots; validation
+    over ids yields zero violations on the constructed cube; a second run
+    resumes from the encoded snapshots (manifest short-circuit)."""
+    import os
+    import time
+
+    from nospa_rdf_data_cube_validator_spark.pipeline import run_pipeline
+    from nospa_rdf_data_cube_validator_spark.sources.transcripts import synth_transcripts
+
+    wd = str(tmp_path / "enc_wd")
+    tr = synth_transcripts(spark, n_convs=15, base_turns=5, hot_convs=1, hot_turns=30)
+    res = run_pipeline(spark, tr, wd, validate=True, encoded=True)
+    for name, df in res["violations"].items():
+        assert df.count() == 0, name
+    assert res["triples_encoded"].schema["subj"].dataType.typeName() == "long"
+    assert os.path.exists(os.path.join(wd, "term_dict"))
+    # the decoded edge count matches the string triples snapshot
+    dec = res["store"].decode(
+        res["triples_encoded"].select("subj", "pred", "obj"), ["subj", "pred", "obj"]
+    )
+    assert dec.count() == res["triples"].count()
+    t0 = time.time()
+    res2 = run_pipeline(spark, tr, wd, validate=False, encoded=True)
+    assert res2["triples_encoded"].count() == res["triples_encoded"].count()
+    assert time.time() - t0 < 30  # resume: snapshots reused, nothing rebuilt
