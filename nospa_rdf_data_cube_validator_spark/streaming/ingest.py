@@ -78,14 +78,23 @@ def streaming_mention_counts(
 
 
 def materialize_batch(
-    batch_df: DataFrame, batch_id: int, out_dir: str, dictionary: DataFrame, alias_map: DataFrame
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    dictionary: DataFrame,
+    alias_map: DataFrame,
+    lineage_dir: str | None = None,
 ) -> None:
     """One micro-batch of KG materialization, written idempotently.
 
     The batch's triples land in their own ``batch_id=N`` partition under
     dynamic partition overwrite: re-running the same batch (foreachBatch
     redelivery after a crash between the data write and the checkpoint
-    commit) replaces the partition byte-for-byte instead of duplicating it."""
+    commit) replaces the partition byte-for-byte instead of duplicating it.
+
+    ``lineage_dir`` (optional) receives per-(micro-batch, partition) row
+    counts under the same idempotent batch_id-partitioned scheme — the
+    streaming analogue of the batch pipeline's ``_lineage_*`` tables."""
     mentions = extract_mentions(batch_df)
     canon = canonicalize(link_mentions(mentions, dictionary), alias_map)
     edges = canon.select(
@@ -95,6 +104,8 @@ def materialize_batch(
         F.col("conv_id"),
         F.col("turn_idx"),
     )
+    if lineage_dir is not None:
+        edges = edges.persist()
     (
         edges.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
@@ -102,10 +113,27 @@ def materialize_batch(
         .partitionBy("batch_id")
         .parquet(out_dir)
     )
+    if lineage_dir is not None:
+        lineage = (
+            edges.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("row_count"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            lineage.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(lineage_dir)
+        )
+        edges.unpersist()
 
 
 def streaming_kg_materialize(
-    spark: SparkSession, stream: DataFrame, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    lineage_dir: str | None = None,
 ):
     """Incrementally materialize KG edge triples from a transcript stream.
 
@@ -121,7 +149,7 @@ def streaming_kg_materialize(
     alias_map = resolve_aliases(alias_edges(spark))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        materialize_batch(batch_df, batch_id, out_dir, dictionary, alias_map)
+        materialize_batch(batch_df, batch_id, out_dir, dictionary, alias_map, lineage_dir)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -121,3 +121,32 @@ def test_materialize_batch_retry_idempotent(spark, transcript_dir, tmp_path):
     # a second batch appends its own partition
     materialize_batch(batch.limit(5), 1, out, d, am)
     assert spark.read.parquet(out).count() > n1
+
+
+def test_streaming_lineage_rows(spark, transcript_dir, tmp_path):
+    """Per-micro-batch lineage: row counts per (batch_id, partition) are
+    written idempotently next to the materialized triples and must sum to
+    the triple count; a redelivered batch replaces its lineage partition."""
+    from nospa_rdf_data_cube_validator_spark.functions.linking import (
+        alias_edges,
+        resolve_aliases,
+        surface_dict,
+    )
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import materialize_batch
+
+    out = str(tmp_path / "l_edges")
+    lin = str(tmp_path / "l_lineage")
+    batch = spark.read.parquet(transcript_dir)
+    d = surface_dict(spark)
+    am = resolve_aliases(alias_edges(spark))
+    materialize_batch(batch, 0, out, d, am, lineage_dir=lin)
+    materialize_batch(batch.limit(7), 1, out, d, am, lineage_dir=lin)
+    edges = spark.read.parquet(out)
+    lineage = spark.read.parquet(lin)
+    got = {r["batch_id"]: r["s"] for r in lineage.groupBy("batch_id").agg(F.sum("row_count").alias("s")).collect()}
+    exp = {r["batch_id"]: r["c"] for r in edges.groupBy("batch_id").count().withColumnRenamed("count", "c").collect()}
+    assert got == exp
+    # redelivery: batch 0's lineage is replaced, not appended
+    materialize_batch(batch, 0, out, d, am, lineage_dir=lin)
+    again = {r["batch_id"]: r["s"] for r in spark.read.parquet(lin).groupBy("batch_id").agg(F.sum("row_count").alias("s")).collect()}
+    assert again == exp
