@@ -47,10 +47,23 @@ def cmd_validate(spark, args) -> int:
 
 def cmd_pipeline(spark, args) -> int:
     transcripts = read_transcripts(spark, args.input)
-    result = run_pipeline(spark, transcripts, args.workdir, validate=True)
+    result = run_pipeline(
+        spark, transcripts, args.workdir, validate=True, encoded=args.encoded
+    )
+    violations = result["violations"]
+    if args.encoded:
+        # id-space violations -> human-readable report: decode the term-
+        # valued key columns (small frames; decode broadcasts them)
+        from nospa_rdf_data_cube_validator_spark.operators.validate import IC_KEY_COLUMNS
+
+        store = result["store"]
+        violations = {
+            name: store.decode(df.select(*IC_KEY_COLUMNS[name]), IC_KEY_COLUMNS[name])
+            for name, df in violations.items()
+        }
     report_dir = args.report or args.workdir
     write_validation_report(
-        result["violations"],
+        violations,
         md_path=report_dir,
         parquet_dir=os.path.join(report_dir, "violations"),
     )
@@ -68,6 +81,12 @@ def main() -> int:
     p.add_argument("input")
     p.add_argument("workdir")
     p.add_argument("--report", default=None)
+    p.add_argument(
+        "--encoded",
+        action="store_true",
+        help="keep the at-rest triples dictionary-encoded (int64 term ids);"
+        " validation runs on ids, reports decode",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name=f"nospa-{args.cmd}")
     return {"validate": cmd_validate, "pipeline": cmd_pipeline}[args.cmd](spark, args)

@@ -39,6 +39,20 @@ def _sql_term(v) -> str:
     return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
 
 
+#: term-valued key columns of each constraint's violation frame — the
+#: columns an encoded store must decode() for human-readable reports
+#: (array-valued columns like `datasets`/`code_lists` stay id-space).
+IC_KEY_COLUMNS: dict[str, list[str]] = {
+    "ic1": ["obs"], "ic2": ["ds"], "ic3": ["dsd"], "ic4": ["dim"],
+    "ic5": ["dim"], "ic6": ["comp_prop"], "ic7": ["slice_key"],
+    "ic8": ["comp_prop"], "ic9": ["slice"], "ic10": ["slice", "dim"],
+    "ic11": ["obs", "dim"], "ic12": ["obs"], "ic13": ["obs", "attr"],
+    "ic14": ["obs", "measure"], "ic15": ["obs"], "ic16": ["obs"],
+    "ic17": ["obs"], "ic18": ["ds", "obs"], "ic19": ["value"],
+    "ic20": ["value"], "ic21": ["value"],
+}
+
+
 class CubeValidator:
     """Validator over a normalized triples store (cf. README.md:73 of the
     reference: validation assumes a normalized cube)."""

@@ -63,17 +63,10 @@ def test_encoded_normalization_row_parity(spark, engines):
 
 def test_encoded_all_21_ics_value_parity(engines):
     sv, ev, e_store = engines
+    from nospa_rdf_data_cube_validator_spark.operators.validate import IC_KEY_COLUMNS
+
     s_all, e_all = sv.validate_all(), ev.validate_all()
-    scalar_cols = {
-        "ic1": ["obs"], "ic2": ["ds"], "ic3": ["dsd"], "ic4": ["dim"],
-        "ic5": ["dim"], "ic6": ["comp_prop"], "ic7": ["slice_key"],
-        "ic8": ["comp_prop"], "ic9": ["slice"], "ic10": ["slice", "dim"],
-        "ic11": ["obs", "dim"], "ic12": ["obs"], "ic13": ["obs", "attr"],
-        "ic14": ["obs", "measure"], "ic15": ["obs"], "ic16": ["obs"],
-        "ic17": ["obs"], "ic18": ["ds", "obs"], "ic19": ["value"],
-        "ic20": ["value"], "ic21": ["value"],
-    }
-    for name, cols in scalar_cols.items():
+    for name, cols in IC_KEY_COLUMNS.items():
         s_rows = {tuple(r[c] for c in cols) for r in s_all[name].select(*cols).collect()}
         e_dec = e_store.decode(e_all[name].select(*cols), cols)
         e_rows = {tuple(r[c] for c in cols) for r in e_dec.collect()}
