@@ -79,12 +79,14 @@ def main() -> None:
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     sets = [f"{i * cores}-{(i + 1) * cores - 1}" for i in range(4)]
-    wait_quiet(thresh)
+    l_a = wait_quiet(thresh)
     solo = collect([spawn(cores, shard, repo, sets[0])])[0]
-    wait_quiet(thresh)
+    l_b = wait_quiet(thresh)
     quad = collect([spawn(cores, shard, repo, sets[i]) for i in range(4)])
+    l_c = load1()
     out = {
         "shard_convs": shard,
+        "loads": {"before_solo": l_a, "before_quad": l_b, "after_quad": l_c},
         "solo": solo,
         "quad": quad,
         "extract_agg_eff": round(
