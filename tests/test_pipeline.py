@@ -305,3 +305,42 @@ def test_bucketed_layout_skips_obs_shuffle(spark, tmp_path):
         .toString()
     )
     assert "Exchange" in plan2
+
+
+def test_ntriples_roundtrip_property(spark, tmp_path):
+    """Property test (hypothesis): arbitrary unicode literals — quotes,
+    backslashes, control characters, RTL text, emoji — survive the
+    N-Triples write->read roundtrip exactly. One batched roundtrip per
+    example keeps Spark overhead bounded."""
+    from hypothesis import given, settings, strategies as st
+
+    from nospa_rdf_data_cube_validator_spark import terms
+
+    lex = st.text(
+        alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+        max_size=40,
+    )
+    langs = st.sampled_from(["", "en", "de-AT"])
+    dts = st.sampled_from(["", "http://www.w3.org/2001/XMLSchema#string"])
+    rows_strategy = st.lists(st.tuples(lex, dts, langs), min_size=1, max_size=25)
+
+    counter = {"n": 0}
+
+    @settings(max_examples=5, deadline=None)
+    @given(rows_strategy)
+    def run(batch):
+        counter["n"] += 1
+        rows = [
+            terms.lit_row(f"http://x/s{i}", "http://x/p", lx, dt if not lg else "", lg)
+            for i, (lx, dt, lg) in enumerate(batch)
+        ]
+        df = terms.triples_df(spark, rows)
+        path = str(tmp_path / f"prop_nt_{counter['n']}")
+        write_ntriples(df, path)
+        back = read_ntriples(spark, path)
+        k = ["subj", "pred", "obj"]
+        assert back.count() == df.count()
+        assert df.join(back, k, "left_anti").count() == 0
+        assert back.join(df, k, "left_anti").count() == 0
+
+    run()
