@@ -98,13 +98,16 @@ def main() -> None:
 
     queries = entry_mod.queries()
     # Warm the session before timing: boot the Arrow Python workers and
-    # touch the parquet inputs once. The headline measures steady-state
+    # fault the parquet data pages in. The headline measures steady-state
     # query throughput; JVM/worker cold-start is a per-session constant
     # that the first-listed query would otherwise absorb (~8s at local[32]).
+    # NOTE: count() alone would read only footers — aggregate a real column
+    # so the column chunks actually hit the page cache.
     warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
     warm.mapInPandas(lambda it: it, schema=warm.schema).count()
     for t in ("orders", "lineitem", "documents", "embeddings", "events", "customer"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.select([F.count(c) for c in df.columns]).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

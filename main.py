@@ -53,12 +53,14 @@ def cmd_pipeline(spark, args) -> int:
     violations = result["violations"]
     if args.encoded:
         # id-space violations -> human-readable report: decode the term-
-        # valued key columns (small frames; decode broadcasts them)
+        # valued key columns in place (small frames; decode broadcasts
+        # them). Diagnostic columns ride through unchanged — scalar counts
+        # as-is, array-valued term columns (datasets/code_lists) id-space.
         from nospa_rdf_data_cube_validator_spark.operators.validate import IC_KEY_COLUMNS
 
         store = result["store"]
         violations = {
-            name: store.decode(df.select(*IC_KEY_COLUMNS[name]), IC_KEY_COLUMNS[name])
+            name: store.decode(df, IC_KEY_COLUMNS[name])
             for name, df in violations.items()
         }
     report_dir = args.report or args.workdir

@@ -232,10 +232,14 @@ def run_pipeline(
         enc = runner.run("triples_encoded", lambda: encode_triples(triples, term_dict))
         result["term_dict"] = term_dict
         result["triples_encoded"] = enc
-        base_store: TripleStore = EncodedTripleStore(enc, term_dict)
-    else:
-        base_store = TripleStore(triples)
     if validate:
+        if encoded:
+            # constructed only when validating: the EncodedTripleStore init
+            # resolves the vocabulary constants (a dictionary semi-join +
+            # driver collect), a real job a resume-only call shouldn't pay
+            base_store: TripleStore = EncodedTripleStore(enc, term_dict)
+        else:
+            base_store = TripleStore(triples)
         store = normalize(base_store)
         store.df = store.df.localCheckpoint(eager=True)
         result["store"] = store

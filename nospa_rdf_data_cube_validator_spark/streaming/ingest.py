@@ -106,26 +106,32 @@ def materialize_batch(
     )
     if lineage_dir is not None:
         edges = edges.persist()
-    (
-        edges.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(out_dir)
-    )
-    if lineage_dir is not None:
-        lineage = (
-            edges.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("row_count"))
-            .withColumn("batch_id", F.lit(batch_id))
-        )
+    try:
         (
-            lineage.write.mode("overwrite")
+            edges.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(lineage_dir)
+            .parquet(out_dir)
         )
-        edges.unpersist()
+        if lineage_dir is not None:
+            lineage = (
+                edges.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count("*").alias("row_count"))
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            (
+                lineage.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(lineage_dir)
+            )
+    finally:
+        # release even when a write throws: foreachBatch redelivers the
+        # batch, and un-released caches from failed attempts would pin
+        # executor memory across retries
+        if lineage_dir is not None:
+            edges.unpersist()
 
 
 def streaming_kg_materialize(

@@ -7,7 +7,9 @@ deterministic transcript input, same shuffle-partition count) in two fresh
 JVMs differing only in master thread count, and reports throughput at both
 plus efficiency = (throughput@4N / throughput@N) / 4.
 
-Usage: python tools/scaling_bench.py [n_convs] [N] [repeats] -> prints JSON, writes BENCH_SCALING.md
+Usage: python tools/scaling_bench.py [n_convs] [N] [repeats] -> prints JSON,
+writes BENCH_SCALING_RAW.md (the curated multi-process evidence in
+BENCH_SCALING.md is hand-maintained; see tools/multiproc_scaling.py)
 """
 
 from __future__ import annotations
