@@ -74,6 +74,7 @@ def bench_cube_validation(spark, sf: float) -> tuple[float, dict]:
     n11 = v.ic11().count()
     n12 = v.ic12().count()
     validate_sec = time.time() - t1
+    v.unpersist()  # release the validator's obs-scale caches before the next bench
     stats = {
         "n_triples": n_triples,
         "n_obs": n_obs,

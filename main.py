@@ -34,12 +34,14 @@ from nospa_rdf_data_cube_validator_spark.sources.transcripts import read_transcr
 def cmd_validate(spark, args) -> int:
     store = normalize(TripleStore(read_rdf(spark, args.input)))
     store.df = store.df.localCheckpoint(eager=True)
-    violations = CubeValidator(store).validate_all()
     report_dir = args.report or "."
     os.makedirs(report_dir, exist_ok=True)
-    text = write_validation_report(
-        violations, md_path=report_dir, parquet_dir=os.path.join(report_dir, "violations")
-    )
+    with CubeValidator(store) as v:  # caches released once the report is out
+        text = write_validation_report(
+            v.validate_all(),
+            md_path=report_dir,
+            parquet_dir=os.path.join(report_dir, "violations"),
+        )
     n_bad = sum(1 for sec in text.split("## ")[1:] if "Pass." not in sec.split("\n\n")[1][:20])
     print(text)
     return 0 if n_bad == 0 else 2
@@ -69,6 +71,7 @@ def cmd_pipeline(spark, args) -> int:
         md_path=report_dir,
         parquet_dir=os.path.join(report_dir, "violations"),
     )
+    result["validator"].unpersist()  # release the validator's obs-scale caches
     print(f"triples: {result['triples'].count()}")
     return 0
 

@@ -106,9 +106,8 @@ def lsh_candidate_pairs(
     drop is silent by design (a capped bucket means "too common to be a
     useful signature"); callers needing the count can reuse the same
     groupBy: ``banded.groupBy("band","bucket").count().where(col("count") >
-    max_bucket)``."""
-    n_hashes = None  # derived from array length at runtime
-    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    max_bucket)``. The band slice width is derived from the signature array
+    length inside the SQL expression below."""
     banded = signatures.select(
         "id",
         F.explode(

@@ -607,11 +607,12 @@ class CubeValidator:
         (valueSet1.size() != 1 || valueSet2.size() != 1) continue``). The
         vector slot for such a dim is NULL; "clean" observations (no NULL
         slots) compare by plain vector equality, so their counts come from
-        one groupBy, while the (rare, data-bug-indicating) "dirty"
-        observations fall back to a per-dataset join that evaluates the
-        skip-aware equality against clean groups and other dirty
-        observations — O(|dirty| * |obs_ds|) instead of the reference's
-        O(|obs_ds|^2). Violation iff the equal-count != #declared measures,
+        one groupBy, while "dirty" observations fall back to a per-dataset
+        join that evaluates the skip-aware equality between DISTINCT value
+        vectors (with multiplicities) — O(|distinct vecs| * |distinct dirty
+        vecs|) per dataset, bounded even when every observation is dirty,
+        vs the reference's O(|obs_ds|^2) pairwise loop.
+        Violation iff the equal-count != #declared measures,
         reported as n_unequal = |obs_ds| - equal-count (:50-57).
 
         strict_w3c=True uses the official SPARQL reading instead: every
@@ -710,23 +711,36 @@ class CubeValidator:
             "!exists(zip_with(vec1, vec2,"
             " (x, y) -> x is not null and y is not null and x != y), b -> b)"
         )
-        # dirty obs1 vs the clean groups of its dataset
-        a_dirty = (
-            dirty.select("obs", "ds", F.col("vec").alias("vec1"))
+        # The skip-aware equality depends only on (vec1, vec2), so every
+        # dirty-side join is keyed on DISTINCT vectors with multiplicities —
+        # O(|distinct vecs| x |distinct dirty vecs|) per dataset, never
+        # O(|dirty| x |obs_ds|): even a cube where EVERY obs misses a dim
+        # value collapses to its (few) distinct dirty vectors first. Array
+        # equi-joins/groupBys compare null elements structurally, so vecs
+        # with NULL slots group and re-join exactly.
+        dg = dirty.groupBy("ds", "vec_h", "vec").agg(F.count("*").alias("dc"))
+        vg = base.select("ds", "vec_h", "vec").distinct()
+        # dirty vec1 vs the clean groups of its dataset, fanned back per obs
+        a_dirty_vec = (
+            dg.select("ds", "vec_h", "vec", F.col("vec").alias("vec1"))
             .join(cg.select("ds", F.col("vec").alias("vec2"), "c"), "ds")
             .where(F.expr(eq))
-            .groupBy("obs", "ds")
+            .groupBy("ds", "vec_h", "vec")
             .agg(F.sum("c").alias("eq_n"))
         )
-        # every obs1 vs the dirty obs2 of its dataset (dirty obs1 counts
-        # itself here, mirroring the reference's self-inclusive loop)
-        b = (
-            base.select("obs", "ds", F.col("vec").alias("vec1"))
-            .join(dirty.select("ds", F.col("vec").alias("vec2")), "ds")
-            .where(F.expr(eq))
-            .groupBy("obs", "ds")
-            .agg(F.count("*").alias("eq_dirty"))
+        a_dirty = dirty.join(a_dirty_vec, ["ds", "vec_h", "vec"]).select(
+            "obs", "ds", "eq_n"
         )
+        # every vec1 vs the dirty vec2 multiset of its dataset (a dirty obs
+        # counts itself here, mirroring the reference's self-inclusive loop)
+        b_vec = (
+            vg.select("ds", "vec_h", "vec", F.col("vec").alias("vec1"))
+            .join(dg.select("ds", F.col("vec").alias("vec2"), "dc"), "ds")
+            .where(F.expr(eq))
+            .groupBy("ds", "vec_h", "vec")
+            .agg(F.sum("dc").alias("eq_dirty"))
+        )
+        b = base.join(b_vec, ["ds", "vec_h", "vec"]).select("obs", "ds", "eq_dirty")
         equals = (
             base.select("obs", "ds", "n_measures")
             .join(a_clean.unionByName(a_dirty), ["obs", "ds"], "left")

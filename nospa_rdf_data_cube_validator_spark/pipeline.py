@@ -243,5 +243,12 @@ def run_pipeline(
         store = normalize(base_store)
         store.df = store.df.localCheckpoint(eager=True)
         result["store"] = store
-        result["violations"] = CubeValidator(store).validate_all()
+        # Ownership transfer: the violation frames are lazy and built on the
+        # validator's persisted observation-scale caches, so the validator
+        # rides along in the result — the caller MUST call
+        # result["validator"].unpersist() after collecting/writing the
+        # violations (main.cmd_pipeline does), or the caches outlive the run.
+        validator = CubeValidator(store)
+        result["validator"] = validator
+        result["violations"] = validator.validate_all()
     return result

@@ -119,19 +119,22 @@ class EncodedTripleStore(TripleStore):
 
     # -- output decode ----------------------------------------------------
     def decode(self, df: DataFrame, cols: list[str]) -> DataFrame:
-        """Replace id columns with their term strings. Violation frames are
-        small, so each join broadcasts the VIOLATION side and streams the
-        dictionary — never the other way around (the dictionary is data-
-        scale at 100 TB)."""
-        out = F.broadcast(df)
+        """Replace id columns with their term strings without ever shuffling
+        the dictionary (data-scale at 100 TB). Spark cannot broadcast the
+        PRESERVED side of a left-outer join, so instead: broadcast the small
+        violation frame's distinct ids INTO a left-semi filter of the
+        dictionary (map-side scan, no dictionary shuffle), then broadcast
+        that small slice as the right side of the decode join."""
         for col in cols:
-            d = self.dictionary.select(
-                F.col("id").alias(col), F.col("term").alias(f"_{col}_s")
+            ids = df.select(F.col(col).alias("id")).distinct()
+            d = (
+                self.dictionary.join(F.broadcast(ids), "id", "left_semi")
+                .select(F.col("id").alias(col), F.col("term").alias(f"_{col}_s"))
             )
-            out = F.broadcast(
-                out.join(d, col, "left").drop(col).withColumnRenamed(f"_{col}_s", col)
+            df = df.join(F.broadcast(d), col, "left").drop(col).withColumnRenamed(
+                f"_{col}_s", col
             )
-        return out
+        return df
 
 
 def encode_store(store: TripleStore, parts: int = 64) -> EncodedTripleStore:

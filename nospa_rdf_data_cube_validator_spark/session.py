@@ -32,6 +32,10 @@ def get_spark(
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pin the session timezone: TIMESTAMP_NTZ -> timestamp casts must be
+        # timezone-invariant (a DST transition between two events would
+        # otherwise skew epoch differences by an hour vs the oracle).
+        .config("spark.sql.session.timeZone", "UTC")
         # Metadata joins in the validator are tiny; give broadcast headroom.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

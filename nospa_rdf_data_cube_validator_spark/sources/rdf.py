@@ -290,7 +290,9 @@ class _RdfXmlParser:
     rdf:resource / rdf:nodeID / rdf:datatype / inherited xml:lang /
     parseType="Resource" / nested node elements, and property attributes.
     Containers (rdf:li) and parseType="Collection"/"Literal" are out of
-    scope — bulk data belongs in N-Triples/parquet anyway."""
+    scope — bulk data belongs in N-Triples/parquet anyway — and FAIL LOUDLY
+    (ValueError) rather than silently emitting bogus triples, matching the
+    N-Triples reader's on_malformed='raise' default."""
 
     def __init__(self, base: str = ""):
         self.base = base
@@ -350,6 +352,13 @@ class _RdfXmlParser:
 
     def _property(self, subj: str, prop, lang: str) -> None:
         pred = self._expand(prop.tag)
+        if pred == _RDF_NS + "li" or (
+            pred.startswith(_RDF_NS + "_") and pred[len(_RDF_NS) + 1 :].isdigit()
+        ):
+            raise ValueError(
+                "RDF/XML containers (rdf:li / rdf:_n membership properties) are "
+                "outside the supported subset; convert the input to N-Triples/Turtle"
+            )
         lang = prop.get(f"{{{_XML_NS}}}lang", lang)
         res = prop.get(f"{{{_RDF_NS}}}resource")
         if res is not None:
@@ -359,12 +368,21 @@ class _RdfXmlParser:
         if node_id is not None:
             self.rows.append(terms.bnode_row(subj, pred, f"_:{node_id}"))
             return
-        if prop.get(f"{{{_RDF_NS}}}parseType") == "Resource":
+        parse_type = prop.get(f"{{{_RDF_NS}}}parseType")
+        if parse_type == "Resource":
             inner = self._fresh_bnode()
             self.rows.append(terms.bnode_row(subj, pred, inner))
             for sub in prop:
                 self._property(inner, sub, lang)
             return
+        if parse_type is not None:
+            # Collection/Literal would otherwise fall into the nested-node
+            # branch and yield bogus triples — fail loudly instead
+            raise ValueError(
+                f"RDF/XML parseType={parse_type!r} on <{pred}> is outside the "
+                "supported subset (only parseType=\"Resource\"); "
+                "convert the input to N-Triples/Turtle"
+            )
         children = list(prop)
         if children:  # nested node element(s)
             for child in children:
@@ -464,20 +482,32 @@ def write_turtle(
     with no prefixes the body is exactly the N-Triples sink's output).
 
     Compaction is conservative: an IRI becomes pfx:local only when the
-    remainder after the namespace is a safe PN local name; everything else
-    stays in <> form, so the output is always valid."""
+    remainder after the namespace is a safe PN local name (which must not
+    end in '.' — 'pfx:foo.' would swallow the triple terminator); everything
+    else stays in <> form, so the output is always valid. Compaction is
+    applied per IRI term column BEFORE line assembly — never to literal
+    lexical forms, so a literal whose text contains '<ns...>' is untouched."""
     prefixes = prefixes or {}
-    line = F.concat_ws(
-        " ",
-        terms.ntriples_term_res("subj"),
-        F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
-        terms.ntriples_term_obj(),
-        F.lit("."),
-    )
-    col = line
-    for pfx, ns in sorted(prefixes.items()):
-        col = F.regexp_replace(col, "<" + re.escape(ns) + r"([A-Za-z_][A-Za-z0-9_.-]*)>", pfx + r":$1")
-    rendered = triples.select(col.alias("value"))
+    # longest namespace first, so nested namespaces resolve to the most
+    # specific prefix; anchored ^<ns>local$ on a single rendered term
+    pfx_order = sorted(prefixes.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    local = r"([A-Za-z_][A-Za-z0-9_.-]*[A-Za-z0-9_-]|[A-Za-z_])"
+
+    def compact(rendered_iri: F.Column) -> F.Column:
+        col = rendered_iri
+        for pfx, ns in pfx_order:
+            col = F.regexp_replace(col, "^<" + re.escape(ns) + local + ">$", pfx + r":$1")
+        return col
+
+    subj_t = F.when(
+        F.col("subj").startswith("_:"), F.col("subj")
+    ).otherwise(compact(F.concat(F.lit("<"), F.col("subj"), F.lit(">"))))
+    pred_t = compact(F.concat(F.lit("<"), F.col("pred"), F.lit(">")))
+    obj_t = F.when(
+        terms.is_iri(), compact(F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+    ).otherwise(terms.ntriples_term_obj())
+    line = F.concat_ws(" ", subj_t, pred_t, obj_t, F.lit("."))
+    rendered = triples.select(line.alias("value"))
     header = [f"@prefix {pfx}: <{ns}> ." for pfx, ns in sorted(prefixes.items())]
 
     def with_header(it):

@@ -63,6 +63,26 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_distributed(spark):
+    # 64-hop chain through the DISTRIBUTED path (driver_threshold=0): plain
+    # min-label propagation would need 64 rounds; pointer jumping must close
+    # it within the 32-round budget instead of returning split components.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert comp == {i: 0 for i in range(65)}
+
+
+def test_connected_components_budget_exhaustion_raises(spark):
+    # With a 1-round budget the fixpoint is unreachable; the loop must fail
+    # loudly, never silently return split components.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(edges, max_iter=1, driver_threshold=0)
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     rng = np.random.RandomState(7)

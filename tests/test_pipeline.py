@@ -270,6 +270,66 @@ def _TurtleParser_rows(text):
     return _TurtleParser(text).parse()
 
 
+def test_turtle_compaction_never_touches_literals(spark, tmp_path):
+    """Prefix compaction applies per IRI term, never inside literal text, and
+    a local name ending in '.' stays in <> form (pfx:foo. would swallow the
+    triple terminator)."""
+    from nospa_rdf_data_cube_validator_spark import terms as _t
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import write_turtle
+
+    NS = "http://example.org/v#"
+    rows = [
+        # literal text that LOOKS like a compactable IRI — must stay verbatim
+        _t.lit_row("http://example.org/v#s", NS + "p", f"see <{NS}target> here"),
+        # trailing-dot local name — must NOT compact
+        _t.iri_row(NS + "s", NS + "p", NS + "v1."),
+        # safe local name — must compact
+        _t.iri_row(NS + "s", NS + "p", NS + "ok"),
+    ]
+    df = _t.triples_df(spark, rows)
+    path = str(tmp_path / "ttl_lit")
+    write_turtle(df.coalesce(1), path, prefixes={"ex": NS})
+    import glob
+
+    text = open(glob.glob(path + "/part-*")[0]).read()
+    assert f'"see <{NS}target> here"' in text, text
+    assert f"<{NS}v1.>" in text, text
+    assert "ex:ok ." in text, text
+    # and the whole document re-parses to the same triple set
+    back = spark.createDataFrame(_TurtleParser_rows(text), df.schema)
+    assert back.join(df, ["subj", "pred", "obj"], "left_anti").count() == 0
+    assert back.count() == df.count()
+
+
+def test_rdfxml_unsupported_constructs_fail_loudly(spark, tmp_path):
+    """parseType=Collection/Literal and rdf:li containers are out of the
+    supported subset and must raise, not emit bogus triples."""
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
+
+    head = (
+        '<?xml version="1.0"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:eg="http://example.org/ns#">'
+    )
+    cases = {
+        "coll.rdf": head + '<rdf:Description rdf:about="http://example.org/x">'
+        '<eg:members rdf:parseType="Collection">'
+        '<rdf:Description rdf:about="http://example.org/a"/>'
+        "</eg:members></rdf:Description></rdf:RDF>",
+        "lit.rdf": head + '<rdf:Description rdf:about="http://example.org/x">'
+        '<eg:blob rdf:parseType="Literal"><b>markup</b></eg:blob>'
+        "</rdf:Description></rdf:RDF>",
+        "seq.rdf": head + '<rdf:Seq rdf:about="http://example.org/bag">'
+        '<rdf:li rdf:resource="http://example.org/a"/>'
+        "</rdf:Seq></rdf:RDF>",
+    }
+    for name, xml in cases.items():
+        p = tmp_path / name
+        p.write_text(xml)
+        with pytest.raises(ValueError, match="subset"):
+            read_rdf(spark, str(p))
+
+
 def test_bucketed_layout_skips_obs_shuffle(spark, tmp_path):
     """The bucketed snapshot's HashPartitioning(subj) must satisfy the
     per-observation aggregation's clustering, so the physical plan for the
