@@ -36,7 +36,7 @@ def cmd_validate(spark, args) -> int:
     store.df = store.df.localCheckpoint(eager=True)
     report_dir = args.report or "."
     os.makedirs(report_dir, exist_ok=True)
-    with CubeValidator(store) as v:  # caches released once the report is out
+    with CubeValidator(store, strict_w3c=args.strict) as v:  # caches released once the report is out
         text = write_validation_report(
             v.validate_all(),
             md_path=report_dir,
@@ -50,7 +50,12 @@ def cmd_validate(spark, args) -> int:
 def cmd_pipeline(spark, args) -> int:
     transcripts = read_transcripts(spark, args.input)
     result = run_pipeline(
-        spark, transcripts, args.workdir, validate=True, encoded=args.encoded
+        spark,
+        transcripts,
+        args.workdir,
+        validate=True,
+        encoded=args.encoded,
+        bucketed=args.bucketed,
     )
     violations = result["violations"]
     if args.encoded:
@@ -82,6 +87,12 @@ def main() -> int:
     v = sub.add_parser("validate", help="normalize + 21 ICs over an RDF cube")
     v.add_argument("input")
     v.add_argument("--report", default=None)
+    v.add_argument(
+        "--strict",
+        action="store_true",
+        help="official W3C SPARQL semantics for the quirk-bearing ICs "
+        "(the reference's -sparql dual-validator mode, README.md:53-77)",
+    )
     p = sub.add_parser("pipeline", help="KG construction over transcripts")
     p.add_argument("input")
     p.add_argument("workdir")
@@ -91,6 +102,12 @@ def main() -> int:
         action="store_true",
         help="keep the at-rest triples dictionary-encoded (int64 term ids);"
         " validation runs on ids, reports decode",
+    )
+    p.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="materialize the normalized cube as a subj-bucketed table and"
+        " validate off it (no observation-scale shuffle in the IC plans)",
     )
     args = ap.parse_args()
     spark = get_spark(app_name=f"nospa-{args.cmd}")

@@ -69,12 +69,26 @@ class CubeValidator:
           instead of NoSPA's collapsed value *set*,
         - IC-14: measureType cubes are skipped instead of checked against
           the unfiltered component set,
+        - IC-15/16: the official per-binding queries replace NoSPA's fused
+          exactly-one split (output (obs, measure) per failing binding),
         - IC-17: a dim with != 1 values fails the match instead of being
-          skipped per pair.
+          skipped per pair,
+        - IC-19: every ?obs ?dim ?v binding is checked (no single-value
+          guard) and the output is the official (obs, dim) pairs,
+        - IC-20/21: each globally declared pcp instantiates its own
+          hierarchyRoot/<p>* query over every hierarchical code list and
+          violations union across pcps, exactly as the reference's
+          SparqlValidator.validateIC20_21 executes the official queries;
+          zero pcps -> zero violations (NoSPA instead falls back to
+          root-membership-only for pcp-less lists).
 
-        The remaining documented divergences need no flag: IC-8's and
-        IC-19's cross-DSD/cross-dataset accumulation in the reference is
-        HashMap-iteration-order nondeterministic, and this engine's
+        ICs 1-5, 7-11, 13 and 18 have NO strict branch because the NoSPA
+        plan already coincides with the official SPARQL
+        (IntegrityConstraint.java:16-147,223-244): both modes return
+        identical violation sets by construction (the differential test
+        suite pins this on the golden fixture and its mutations). IC-8's
+        and IC-19's cross-DSD/cross-dataset accumulation in the reference
+        is HashMap-iteration-order nondeterministic, and this engine's
         per-(dsd|dataset) pairing IS the official reading — the only
         deterministic one.
         """
@@ -570,7 +584,31 @@ class CubeValidator:
 
         The fused reference result is split by set size: exactly-one
         measureType but wrong/absent measure value -> IC-15
-        (NospaValidator.java:339-347)."""
+        (NospaValidator.java:339-347).
+
+        strict_w3c=True runs the official SPARQL IC-15 verbatim
+        (IntegrityConstraint.java:178-187): EVERY qb:measureType binding of
+        an observation in a measureType cube must have a value on that
+        observation — no exactly-one split, no declared-measure check;
+        output is (obs, measure) per failing binding."""
+        if self.strict_w3c:
+            obs_in_mt = (
+                self.obs_ds()
+                .join(self.measure_type_datasets(), "ds", "left_semi")
+                .select("obs")
+                .distinct()
+            )
+            mt_edges = self.store.p(qb.QB_MEASURE_TYPE).select(
+                F.col("subj").alias("obs"), F.col("obj").alias("measure")
+            )
+            pairs = mt_edges.join(obs_in_mt, "obs", "left_semi").distinct()
+            mts = pairs.select(F.col("measure").alias("pred")).distinct()
+            present = (
+                self.store.df.join(F.broadcast(mts), "pred", "left_semi")
+                .select(F.col("subj").alias("obs"), F.col("pred").alias("measure"))
+                .distinct()
+            )
+            return pairs.join(present, ["obs", "measure"], "left_anti")
         base = self._ic15_16_base()
         return (
             base.where(
@@ -588,7 +626,42 @@ class CubeValidator:
         """IC-16 Single measure on measure-dimension observation -> (obs, measure_types).
 
         Set size != 1 (zero or multiple qb:measureType values) lands here,
-        matching the reference's split."""
+        matching the reference's split.
+
+        strict_w3c=True runs the official SPARQL IC-16 verbatim
+        (IntegrityConstraint.java:189-202): an observation carrying
+        qb:measureType ?m plus a value for some OTHER measure ?om (typed
+        MeasureProperty AND declared in the dsd's components) is flagged as
+        (obs, measure=?m) — per binding, independent of how many
+        measureTypes the observation has."""
+        if self.strict_w3c:
+            mt_edges = self.store.p(qb.QB_MEASURE_TYPE).select(
+                F.col("subj").alias("obs"), F.col("obj").alias("measure")
+            )
+            ds_meas = (
+                self.ds_comp_props()
+                .join(self.measure_type_datasets(), "ds", "left_semi")
+                .join(
+                    self.measures_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi"
+                )
+                .select("ds", "prop")
+                .distinct()
+            )
+            props = ds_meas.select(F.col("prop").alias("pred")).distinct()
+            obs_prop_vals = (
+                self.store.df.join(F.broadcast(props), "pred", "left_semi")
+                .select(F.col("subj").alias("obs"), F.col("pred").alias("prop"))
+                .distinct()
+            )
+            return (
+                self.obs_ds()
+                .join(mt_edges, "obs")
+                .join(F.broadcast(ds_meas), "ds")
+                .join(obs_prop_vals, ["obs", "prop"], "left_semi")
+                .where(F.col("prop") != F.col("measure"))
+                .select("obs", "measure")
+                .distinct()
+            )
         base = self._ic15_16_base()
         return base.where(F.col("n_mt") != 1).select("obs", "measure_types").distinct()
 
@@ -783,11 +856,9 @@ class CubeValidator:
             ).select(F.col("subj").alias("dim"), F.col("obj").alias("cl")),
         )
 
-    def _obs_dim_single_vals(self, dim_cl: DataFrame) -> DataFrame:
-        """(obs, dim, value) where the obs has exactly one value for a
-        code-listed dimension of its own dataset (valueSet.size()==1 guard,
-        ValidatorIC19.java:120-124 / ValidatorIC20_21.java:120-125)."""
-        ds_dims = (
+    def _ds_code_dims(self, dim_cl: DataFrame) -> DataFrame:
+        """(ds, dim): code-listed declared dimensions per dataset."""
+        return (
             self.ds_comp_props()
             .where(F.col("prop_kind") == terms.KIND_IRI)
             .join(self.dims_defined().withColumnRenamed("subj", "prop"), "prop", "left_semi")
@@ -795,9 +866,34 @@ class CubeValidator:
             .select("ds", F.col("prop").alias("dim"))
             .distinct()
         )
+
+    def _obs_dim_single_vals(self, dim_cl: DataFrame) -> DataFrame:
+        """(obs, dim, value) where the obs has exactly one value for a
+        code-listed dimension of its own dataset (valueSet.size()==1 guard,
+        ValidatorIC19.java:120-124 / ValidatorIC20_21.java:120-125)."""
+        ds_dims = self._ds_code_dims(dim_cl)
         stats = self._obs_pred_stats(ds_dims.select(F.col("dim").alias("pred")))
         vals = stats.where(F.col("n_vals") == 1).select(
             "obs", F.col("pred").alias("dim"), F.col("min_val").alias("value")
+        )
+        return (
+            self.obs_ds()
+            .join(F.broadcast(ds_dims), "ds")
+            .join(vals, ["obs", "dim"], "inner")
+            .select("obs", "dim", "value")
+        )
+
+    def _obs_dim_all_vals(self, dim_cl: DataFrame) -> DataFrame:
+        """(obs, dim, value): EVERY value binding of a code-listed dimension
+        of the observation's own dataset — the official SPARQL's
+        ``?obs ?dim ?v`` with no single-value guard (strict mode)."""
+        ds_dims = self._ds_code_dims(dim_cl)
+        vals = self.store.df.join(
+            F.broadcast(ds_dims.select(F.col("dim").alias("pred")).distinct()),
+            "pred",
+            "left_semi",
+        ).select(
+            F.col("subj").alias("obs"), F.col("pred").alias("dim"), F.col("obj").alias("value")
         )
         return (
             self.obs_ds()
@@ -814,7 +910,12 @@ class CubeValidator:
         Deviation (documented): the reference accumulates the dim->codelist
         maps across datasets in hash order (ValidatorIC19.java:24-55); we
         pair each observation with the dimensions of its own dataset, the
-        official SPARQL reading."""
+        official SPARQL reading.
+
+        strict_w3c=True runs the official SPARQL IC-19 verbatim
+        (IntegrityConstraint.java:246-263): EVERY ``?obs ?dim ?v`` binding is
+        checked (no single-value guard), and the output is the (obs, dim)
+        pairs with some failing binding instead of NoSPA's value-keyed rows."""
         dim_cl = self._dim_code_lists()
         schemes = self.store.typed(qb.SKOS_CONCEPT_SCHEME).select(F.col("subj").alias("cl"))
         collections = self.store.typed(qb.SKOS_COLLECTION).select(F.col("subj").alias("cl"))
@@ -825,6 +926,28 @@ class CubeValidator:
         in_scheme = self.store.p(qb.SKOS_IN_SCHEME).select(
             F.col("subj").alias("value"), F.col("obj").alias("cl")
         )
+
+        if self.strict_w3c:
+            member = self.store.p(qb.SKOS_MEMBER).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+            lcl_cls = dim_lcl.select("cl").distinct()
+            seeds = lcl_cls.join(member, lcl_cls["cl"] == member["src"], "inner").select(
+                "cl", F.col("dst").alias("node")
+            )
+            reach = transitive_closure(seeds, member).withColumnRenamed("node", "value")
+            pairs = self._obs_dim_all_vals(dim_ccl.unionByName(dim_lcl).distinct())
+            p_c = pairs.join(F.broadcast(dim_ccl), "dim")
+            ok_c = p_c.join(in_scheme, ["value", "cl"], "left_semi").join(
+                concepts, "value", "left_semi"
+            )
+            fail_c = p_c.join(ok_c, ["obs", "dim", "value", "cl"], "left_anti")
+            p_l = pairs.join(F.broadcast(dim_lcl), "dim")
+            ok_l = p_l.join(reach, ["cl", "value"], "left_semi").join(
+                concepts, "value", "left_semi"
+            )
+            fail_l = p_l.join(ok_l, ["obs", "dim", "value", "cl"], "left_anti")
+            return fail_c.unionByName(fail_l).select("obs", "dim").distinct()
 
         vals = self._obs_dim_single_vals(
             dim_ccl.unionByName(dim_lcl).distinct()
@@ -916,7 +1039,86 @@ class CubeValidator:
         no_pcp_roots = roots.join(cl_pcp.select("cl").distinct(), "cl", "left_anti").select("cl", "node")
         return reach.unionByName(no_pcp_roots).distinct()
 
+    def _global_pcps(self, direction: str) -> DataFrame:
+        """(pcp): the direction's parentChildProperties across ALL typed
+        hierarchical code lists — the official IC-20A/21A result set
+        (IntegrityConstraint.java:265-271,280-288), which SparqlValidator
+        substitutes into IC-20B/21B one at a time regardless of which list
+        declared them (SparqlValidator.java:219-234)."""
+        hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
+        pcp_raw = (
+            self.store.p(qb.QB_PARENT_CHILD_PROPERTY, with_kind=True)
+            .select(F.col("subj").alias("cl"), F.col("obj").alias("p"), "obj_kind")
+            .join(hcl, "cl", "left_semi")
+        )
+        if direction == "direct":
+            return pcp_raw.where(F.col("obj_kind") == terms.KIND_IRI).select(
+                F.col("p").alias("pcp")
+            ).distinct()
+        inv = (
+            self.store.p(qb.OWL_INVERSE_OF, with_kind=True)
+            .where(F.col("obj_kind") == terms.KIND_IRI)
+            .select(F.col("subj").alias("p"), F.col("obj").alias("pcp"))
+        )
+        return (
+            pcp_raw.where(F.col("obj_kind") == terms.KIND_BNODE)
+            .join(inv, "p")
+            .select("pcp")
+            .distinct()
+        )
+
+    def _ic20_21_strict(self, direction: str) -> DataFrame:
+        """Official IC-20/21 as the reference's SPARQL twin executes it
+        (SparqlValidator.validateIC20_21, SparqlValidator.java:219-234):
+        each GLOBALLY declared pcp instantiates its own
+        ``hierarchyRoot/<p>*`` reachability query over EVERY hierarchical
+        code list, and the violation set is the UNION across pcps — a value
+        is flagged for a list when SOME global pcp fails to connect it.
+        Zero declared pcps -> zero violations (the B query never runs).
+        No single-value guard: every ``?obs ?dim ?v`` binding is checked."""
+        hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
+        dim_hcl = self._dim_code_lists().join(hcl, "cl", "left_semi")
+        pcps = self._global_pcps(direction)
+        roots = (
+            self.store.p(qb.QB_HIERARCHY_ROOT)
+            .select(F.col("subj").alias("cl"), F.col("obj").alias("node"))
+            .join(hcl, "cl", "left_semi")
+        )
+        edge_base = self.store.df.join(
+            F.broadcast(pcps.select(F.col("pcp").alias("pred"))), "pred", "left_semi"
+        )
+        if direction == "direct":
+            edges = edge_base.select(
+                F.col("pred").alias("pcp"), F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        else:
+            edges = edge_base.select(
+                F.col("pred").alias("pcp"), F.col("obj").alias("src"), F.col("subj").alias("dst")
+            )
+        seeds = roots.crossJoin(F.broadcast(pcps)).select("cl", "pcp", "node")
+        reach = transitive_closure(seeds, edges, edge_tags=("pcp",))
+        vals = (
+            self._obs_dim_all_vals(dim_hcl)
+            .select("dim", "value")
+            .distinct()
+            .join(F.broadcast(dim_hcl), "dim")
+            .select("cl", "value")
+            .distinct()
+        )
+        pairs = vals.crossJoin(F.broadcast(pcps))
+        bad = pairs.join(
+            reach.withColumnRenamed("node", "value"), ["cl", "pcp", "value"], "left_anti"
+        )
+        return (
+            bad.select("cl", "value")
+            .distinct()
+            .groupBy("value")
+            .agg(F.sort_array(F.collect_set("cl")).alias("code_lists"))
+        )
+
     def _ic20_21(self, direction: str) -> DataFrame:
+        if self.strict_w3c:
+            return self._ic20_21_strict(direction)
         hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
         dim_hcl = self._dim_code_lists().join(hcl, "cl", "left_semi")
         conn = self._hierarchy_conn(direction).withColumnRenamed("node", "value")
@@ -936,11 +1138,14 @@ class CubeValidator:
 
     def ic20(self) -> DataFrame:
         """IC-20 Codes from hierarchy, direct pcp (ValidatorIC20_21.java:30-192)
-        -> (value, code_lists)."""
+        -> (value, code_lists). strict_w3c=True switches to the official
+        per-global-pcp union semantics (see _ic20_21_strict)."""
         return self._ic20_21("direct")
 
     def ic21(self) -> DataFrame:
-        """IC-21 Codes from hierarchy, inverse pcp -> (value, code_lists)."""
+        """IC-21 Codes from hierarchy, inverse pcp -> (value, code_lists).
+        strict_w3c=True switches to the official per-global-pcp union
+        semantics (see _ic20_21_strict)."""
         return self._ic20_21("inverse")
 
     # ------------------------------------------------------------------

@@ -117,3 +117,33 @@ def test_pipeline_encoded_snapshots_and_resume(spark, tmp_path):
     res2 = run_pipeline(spark, tr, wd, validate=False, encoded=True)
     assert res2["triples_encoded"].count() == res["triples_encoded"].count()
     assert open(manifest_path).read() == before
+
+
+def test_pipeline_bucketed_encoded_atrest(spark, tmp_path):
+    """bucketed=True + encoded=True: the validate store IS the subj-bucketed
+    cube_atrest table — per-observation (subj, pred) aggregations plan with
+    NO Exchange, violations still all-zero (plan property + correctness),
+    and a re-run resumes the table from the session catalog."""
+    import json
+    import os
+
+    from nospa_rdf_data_cube_validator_spark.pipeline import run_pipeline
+    from nospa_rdf_data_cube_validator_spark.sources.transcripts import synth_transcripts
+
+    wd = str(tmp_path / "bkt_wd")
+    tr = synth_transcripts(spark, n_convs=15, base_turns=5, hot_convs=1, hot_turns=30)
+    res = run_pipeline(spark, tr, wd, validate=True, encoded=True, bucketed=True, buckets=4)
+    for name, df in res["violations"].items():
+        assert df.count() == 0, name
+    res["validator"].unpersist()
+    store_df = res["store"].df
+    assert store_df.schema["subj"].dataType.typeName() == "long"
+    plan = store_df.groupBy("subj", "pred").count()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    manifest = json.load(open(os.path.join(wd, "_MANIFEST.json")))
+    assert manifest["stages"]["cube_atrest"]["done"]
+    # same-session resume: the manifest (incl. recorded seconds) is untouched
+    before = open(os.path.join(wd, "_MANIFEST.json")).read()
+    res2 = run_pipeline(spark, tr, wd, validate=True, encoded=True, bucketed=True, buckets=4)
+    res2["validator"].unpersist()
+    assert open(os.path.join(wd, "_MANIFEST.json")).read() == before
