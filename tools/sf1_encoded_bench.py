@@ -89,18 +89,30 @@ def main() -> None:
     e_store.df.count()
     encode_sec = time.time() - t0
 
-    # interleaved A/B, string first then encoded, per round
+    # interleaved A/B with ALTERNATING order per round (JIT/GC warm-up and
+    # co-tenant noise would otherwise bias whichever side runs first); round
+    # 0 is a discarded warm-up for both engines.
+    validate_only(s_store)
+    validate_only(e_store)
     samples = []
     for r in range(rounds):
-        s_sec, s11, s12 = validate_only(s_store)
-        e_sec, e11, e12 = validate_only(e_store)
+        if r % 2 == 0:
+            s_sec, s11, s12 = validate_only(s_store)
+            e_sec, e11, e12 = validate_only(e_store)
+        else:
+            e_sec, e11, e12 = validate_only(e_store)
+            s_sec, s11, s12 = validate_only(s_store)
         assert (s11, s12) == (e11, e12), f"violation counts diverged: {(s11, s12)} vs {(e11, e12)}"
         samples.append(
             {"round": r, "string_sec": round(s_sec, 3), "encoded_sec": round(e_sec, 3)}
         )
 
+    import statistics
+
     best_s = min(s["string_sec"] for s in samples)
     best_e = min(s["encoded_sec"] for s in samples)
+    med_s = statistics.median(s["string_sec"] for s in samples)
+    med_e = statistics.median(s["encoded_sec"] for s in samples)
     print(
         json.dumps(
             {
@@ -113,9 +125,12 @@ def main() -> None:
                 "samples": samples,
                 "string_best_sec": best_s,
                 "encoded_best_sec": best_e,
+                "string_median_sec": med_s,
+                "encoded_median_sec": med_e,
                 "string_obs_per_sec": round(n_obs / best_s),
                 "encoded_obs_per_sec": round(n_obs / best_e),
-                "speedup": round(best_s / best_e, 3),
+                "speedup_best": round(best_s / best_e, 3),
+                "speedup_median": round(med_s / med_e, 3),
                 "loadavg_start": load_start,
                 "loadavg_end": loadavg(),
                 "cpus": int(cpus),
