@@ -99,15 +99,19 @@ def main() -> int:
     p.add_argument("--report", default=None)
     p.add_argument(
         "--encoded",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="keep the at-rest triples dictionary-encoded (int64 term ids);"
-        " validation runs on ids, reports decode",
+        " validation runs on ids, reports decode (default on; --no-encoded"
+        " for the plain string form)",
     )
     p.add_argument(
         "--bucketed",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="materialize the normalized cube as a subj-bucketed table and"
-        " validate off it (no observation-scale shuffle in the IC plans)",
+        " validate off it — no observation-scale shuffle in the IC plans"
+        " (default on; --no-bucketed for a localCheckpoint instead)",
     )
     args = ap.parse_args()
     spark = get_spark(app_name=f"nospa-{args.cmd}")

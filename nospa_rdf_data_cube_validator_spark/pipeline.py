@@ -236,12 +236,19 @@ def run_pipeline(
     transcripts: DataFrame,
     workdir: str,
     validate: bool = True,
-    encoded: bool = False,
-    bucketed: bool = False,
+    encoded: bool = True,
+    bucketed: bool = True,
     buckets: int = 32,
 ) -> dict:
     """Full KG-construction run. Returns dict with stage DataFrames and
     (optionally) the violation DataFrames of all 21 ICs.
+
+    The DEFAULT at-rest layout is encoded + bucketed — the round-3 sf1
+    bench (BENCH.md §9) measured the encoded validate path >= the string
+    path at the reference's million-obs scale (best 1.18x, median 1.68x)
+    on top of the 5-10x shuffle-byte reduction, and the bucketed table
+    removes the observation-scale Exchange from every IC plan; pass
+    encoded=False/bucketed=False for the plain string/parquet form.
 
     encoded=True adds the dictionary-encoded at-rest layout: two more
     resumable snapshots (``term_dict``: order-preserving int64 term ids;
