@@ -285,14 +285,17 @@ _XML_NS = "http://www.w3.org/XML/1998/namespace"
 
 
 class _RdfXmlParser:
-    """Subset RDF/XML parser over ElementTree: rdf:Description and typed
-    node elements, rdf:about/rdf:ID/rdf:nodeID, property elements with
+    """RDF/XML parser over ElementTree: rdf:Description and typed node
+    elements, rdf:about/rdf:ID/rdf:nodeID, property elements with
     rdf:resource / rdf:nodeID / rdf:datatype / inherited xml:lang /
-    parseType="Resource" / nested node elements, and property attributes.
-    Containers (rdf:li) and parseType="Collection"/"Literal" are out of
-    scope — bulk data belongs in N-Triples/parquet anyway — and FAIL LOUDLY
-    (ValueError) rather than silently emitting bogus triples, matching the
-    N-Triples reader's on_malformed='raise' default."""
+    parseType="Resource"/"Collection"/"Literal", nested node elements,
+    property attributes, and containers (rdf:li expands to rdf:_n with a
+    per-node-element counter, Jena-style; explicit rdf:_n passes through).
+    parseType="Literal" keeps the inner XML as an rdf:XMLLiteral lexical
+    form via ElementTree serialization (no exclusive-c14n pass — byte
+    parity with Jena's canonicalized XMLLiterals is not claimed). Unknown
+    parseType values FAIL LOUDLY (ValueError) rather than silently
+    emitting bogus triples, matching on_malformed='raise'."""
 
     def __init__(self, base: str = ""):
         self.base = base
@@ -346,19 +349,20 @@ class _RdfXmlParser:
             if k.startswith(_RDF_NS) or k.startswith(_XML_NS):
                 continue
             self.rows.append(terms.lit_row(subj, k, v, "", lang))
+        li_counter = [0]  # rdf:li numbering restarts per node element
         for prop in el:
-            self._property(subj, prop, lang)
+            self._property(subj, prop, lang, li_counter)
         return subj
 
-    def _property(self, subj: str, prop, lang: str) -> None:
+    def _property(self, subj: str, prop, lang: str, li_counter: list | None = None) -> None:
         pred = self._expand(prop.tag)
-        if pred == _RDF_NS + "li" or (
-            pred.startswith(_RDF_NS + "_") and pred[len(_RDF_NS) + 1 :].isdigit()
-        ):
-            raise ValueError(
-                "RDF/XML containers (rdf:li / rdf:_n membership properties) are "
-                "outside the supported subset; convert the input to N-Triples/Turtle"
-            )
+        if pred == _RDF_NS + "li":
+            # container membership: each rdf:li becomes rdf:_n in document
+            # order within its node element (Jena's li counter semantics)
+            if li_counter is None:
+                li_counter = [0]
+            li_counter[0] += 1
+            pred = f"{_RDF_NS}_{li_counter[0]}"
         lang = prop.get(f"{{{_XML_NS}}}lang", lang)
         res = prop.get(f"{{{_RDF_NS}}}resource")
         if res is not None:
@@ -375,13 +379,40 @@ class _RdfXmlParser:
             for sub in prop:
                 self._property(inner, sub, lang)
             return
+        if parse_type == "Collection":
+            # children become an rdf:first/rdf:rest linked list
+            items = [self._node(child, lang) for child in prop]
+            if not items:
+                self.rows.append(terms.iri_row(subj, pred, _RDF_NS + "nil"))
+                return
+            cells = [self._fresh_bnode() for _ in items]
+            self.rows.append(terms.bnode_row(subj, pred, cells[0]))
+            for i, (cell, item) in enumerate(zip(cells, items)):
+                first = (
+                    terms.bnode_row(cell, _RDF_NS + "first", item)
+                    if item.startswith("_:")
+                    else terms.iri_row(cell, _RDF_NS + "first", item)
+                )
+                self.rows.append(first)
+                rest = cells[i + 1] if i + 1 < len(cells) else None
+                self.rows.append(
+                    terms.bnode_row(cell, _RDF_NS + "rest", rest)
+                    if rest is not None
+                    else terms.iri_row(cell, _RDF_NS + "rest", _RDF_NS + "nil")
+                )
+            return
+        if parse_type == "Literal":
+            import xml.etree.ElementTree as ET
+
+            lex = (prop.text or "") + "".join(
+                ET.tostring(child, encoding="unicode") for child in prop
+            )
+            self.rows.append(terms.lit_row(subj, pred, lex, _RDF_NS + "XMLLiteral"))
+            return
         if parse_type is not None:
-            # Collection/Literal would otherwise fall into the nested-node
-            # branch and yield bogus triples — fail loudly instead
             raise ValueError(
-                f"RDF/XML parseType={parse_type!r} on <{pred}> is outside the "
-                "supported subset (only parseType=\"Resource\"); "
-                "convert the input to N-Triples/Turtle"
+                f"RDF/XML parseType={parse_type!r} on <{pred}> is not valid RDF/XML "
+                "(expected Resource, Collection or Literal)"
             )
         children = list(prop)
         if children:  # nested node element(s)

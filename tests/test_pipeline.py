@@ -301,33 +301,76 @@ def test_turtle_compaction_never_touches_literals(spark, tmp_path):
     assert back.count() == df.count()
 
 
-def test_rdfxml_unsupported_constructs_fail_loudly(spark, tmp_path):
-    """parseType=Collection/Literal and rdf:li containers are out of the
-    supported subset and must raise, not emit bogus triples."""
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_HEAD = (
+    '<?xml version="1.0"?>\n<rdf:RDF '
+    'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+    'xmlns:eg="http://example.org/ns#">'
+)
+
+
+def test_rdfxml_collection_builds_first_rest_list(spark, tmp_path):
+    """parseType=Collection children become an rdf:first/rdf:rest list
+    terminated by rdf:nil (Jena parity)."""
     from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
 
-    head = (
-        '<?xml version="1.0"?>\n<rdf:RDF '
-        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
-        'xmlns:eg="http://example.org/ns#">'
-    )
-    cases = {
-        "coll.rdf": head + '<rdf:Description rdf:about="http://example.org/x">'
+    xml = (
+        _XML_HEAD + '<rdf:Description rdf:about="http://example.org/x">'
         '<eg:members rdf:parseType="Collection">'
         '<rdf:Description rdf:about="http://example.org/a"/>'
-        "</eg:members></rdf:Description></rdf:RDF>",
-        "lit.rdf": head + '<rdf:Description rdf:about="http://example.org/x">'
+        '<rdf:Description rdf:about="http://example.org/b"/>'
+        "</eg:members></rdf:Description></rdf:RDF>"
+    )
+    p = tmp_path / "coll.rdf"
+    p.write_text(xml)
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in read_rdf(spark, str(p)).collect()}
+    head = next(o for s, pr, o in rows if pr == "http://example.org/ns#members")
+    assert (head, _RDF + "first", "http://example.org/a") in rows
+    nxt = next(o for s, pr, o in rows if s == head and pr == _RDF + "rest")
+    assert (nxt, _RDF + "first", "http://example.org/b") in rows
+    assert (nxt, _RDF + "rest", _RDF + "nil") in rows
+
+
+def test_rdfxml_xmlliteral_and_containers(spark, tmp_path):
+    """parseType=Literal keeps inner XML as an rdf:XMLLiteral; rdf:li in a
+    container node element numbers rdf:_1, rdf:_2 in document order."""
+    from nospa_rdf_data_cube_validator_spark import terms as _t
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
+
+    xml = (
+        _XML_HEAD + '<rdf:Description rdf:about="http://example.org/x">'
         '<eg:blob rdf:parseType="Literal"><b>markup</b></eg:blob>'
-        "</rdf:Description></rdf:RDF>",
-        "seq.rdf": head + '<rdf:Seq rdf:about="http://example.org/bag">'
+        "</rdf:Description>"
+        '<rdf:Seq rdf:about="http://example.org/bag">'
         '<rdf:li rdf:resource="http://example.org/a"/>'
-        "</rdf:Seq></rdf:RDF>",
-    }
-    for name, xml in cases.items():
-        p = tmp_path / name
-        p.write_text(xml)
-        with pytest.raises(ValueError, match="subset"):
-            read_rdf(spark, str(p))
+        '<rdf:li rdf:resource="http://example.org/b"/>'
+        "</rdf:Seq></rdf:RDF>"
+    )
+    p = tmp_path / "mix.rdf"
+    p.write_text(xml)
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in read_rdf(spark, str(p)).collect()}
+    assert (
+        "http://example.org/x",
+        "http://example.org/ns#blob",
+        _t.encode_literal("<b>markup</b>", _RDF + "XMLLiteral"),
+    ) in rows
+    assert ("http://example.org/bag", _RDF + "_1", "http://example.org/a") in rows
+    assert ("http://example.org/bag", _RDF + "_2", "http://example.org/b") in rows
+    assert ("http://example.org/bag", qb.RDF_TYPE, _RDF + "Seq") in rows
+
+
+def test_rdfxml_invalid_parsetype_fails_loudly(spark, tmp_path):
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
+
+    xml = (
+        _XML_HEAD + '<rdf:Description rdf:about="http://example.org/x">'
+        '<eg:p rdf:parseType="Bogus">text</eg:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    p = tmp_path / "bad.rdf"
+    p.write_text(xml)
+    with pytest.raises(ValueError, match="parseType"):
+        read_rdf(spark, str(p))
 
 
 def test_bucketed_layout_skips_obs_shuffle(spark, tmp_path):
