@@ -73,6 +73,27 @@ def test_encoded_all_21_ics_value_parity(engines):
         assert s_rows == e_rows, f"{name}: {s_rows ^ e_rows}"
 
 
+def test_decode_never_shuffles_the_dictionary(spark, engines):
+    """decode()'s physical plan must reach the dictionary only through a
+    broadcast: the violation frame's distinct ids broadcast INTO a
+    left-semi filter of the dictionary, and the filtered slice broadcasts
+    into the decode join. A SortMergeJoin or shuffle Exchange on the
+    dictionary side would stream the (100 TB-scale) dictionary — the exact
+    regression this pins (Spark ignores a broadcast hint on the PRESERVED
+    side of a left-outer join, so the old broadcast(df) formulation
+    silently shuffled the dictionary)."""
+    _, ev, e_store = engines
+    small = ev.store.df.limit(10).select("subj", "pred", "obj")
+    plan = (
+        e_store.decode(small, ["subj", "pred", "obj"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_encoded_ic12_representative_choice_matches(spark):
     """The IC-12 'all but the MINIMUM obs' pick must survive encoding —
     guaranteed only because the dictionary is order-preserving."""

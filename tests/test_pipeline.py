@@ -447,3 +447,60 @@ def test_ntriples_roundtrip_property(spark, tmp_path):
         assert back.join(df, k, "left_anti").count() == 0
 
     run()
+
+
+def test_turtle_roundtrip_property(spark, tmp_path):
+    """Property test: arbitrary local-name suffixes (incl. ones that are NOT
+    safe PN local names — trailing dots, leading digits, '%', '/') and
+    literals that LOOK like compactable IRIs all survive the prefixed
+    Turtle write->read roundtrip exactly — compaction must only ever fire
+    where re-parsing is lossless."""
+    from hypothesis import given, settings, strategies as st
+
+    from nospa_rdf_data_cube_validator_spark import terms
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import write_turtle
+
+    NS = "http://example.org/t#"
+    # IRI-legal suffix characters, deliberately including PN-unsafe ones
+    suffix = st.text(
+        alphabet="abcXYZ019._-~%/!$&'()*+,;=:@",
+        min_size=1,
+        max_size=12,
+    )
+    lex = st.one_of(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+            max_size=30,
+        ),
+        suffix.map(lambda s: f"see <{NS}{s}> and ex:{s} here"),
+    )
+    rows_strategy = st.lists(
+        st.tuples(st.booleans(), suffix, lex), min_size=1, max_size=20
+    )
+
+    counter = {"n": 0}
+
+    @settings(max_examples=5, deadline=None)
+    @given(rows_strategy)
+    def run(batch):
+        counter["n"] += 1
+        rows = []
+        for i, (as_iri, sfx, lx) in enumerate(batch):
+            subj = f"{NS}s{i}"
+            if as_iri:
+                rows.append(terms.iri_row(subj, NS + "p", NS + sfx))
+            else:
+                rows.append(terms.lit_row(subj, NS + "p", lx))
+        df = terms.triples_df(spark, rows)
+        path = str(tmp_path / f"prop_ttl_{counter['n']}")
+        write_turtle(df.coalesce(1), path, prefixes={"ex": NS})
+        import glob
+
+        text = open(glob.glob(path + "/part-*")[0]).read()
+        back = spark.createDataFrame(_TurtleParser_rows(text), df.schema)
+        k = ["subj", "pred", "obj"]
+        assert back.count() == df.count()
+        assert df.join(back, k, "left_anti").count() == 0
+        assert back.join(df, k, "left_anti").count() == 0
+
+    run()
