@@ -164,6 +164,50 @@ def streaming_kg_materialize(
     )
 
 
+def record_stream_stage(
+    spark: SparkSession, workdir: str, stage: str, out_dir: str, lineage_dir: str
+) -> dict:
+    """Fold a finished streaming run into the batch pipeline's manifest.
+
+    Writes one StageRunner-compatible stage entry (``done``/``rows``) whose
+    ``micro_batches`` map carries the per-batch lineage row totals, so a
+    subsequent batch `run_pipeline` resume sees the streamed snapshot as a
+    completed stage and the lineage chain is unbroken across the
+    batch/streaming boundary (north rule: per-partition lineage +
+    checkpoint-resume)."""
+    import json
+    import os
+
+    lineage = spark.read.parquet(lineage_dir)
+    per_batch = {
+        str(r["batch_id"]): r["rows"]
+        for r in lineage.groupBy("batch_id").agg(F.sum("row_count").alias("rows")).collect()
+    }
+    rows = spark.read.parquet(out_dir).count()
+    assert rows == sum(per_batch.values()), (
+        f"lineage total {sum(per_batch.values())} != snapshot rows {rows} — "
+        "a micro-batch wrote data without lineage (or vice versa)"
+    )
+    os.makedirs(workdir, exist_ok=True)
+    manifest_path = os.path.join(workdir, "_MANIFEST.json")
+    manifest = {"stages": {}}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+    entry = {
+        "done": True,
+        "rows": rows,
+        "streaming": True,
+        "micro_batches": dict(sorted(per_batch.items(), key=lambda kv: int(kv[0]))),
+    }
+    manifest["stages"][stage] = entry
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, manifest_path)
+    return entry
+
+
 _ORDER_STATE = StructType([StructField("max_turn", IntegerType(), True)])
 _ORDER_OUT = StructType(
     [

@@ -150,3 +150,43 @@ def test_streaming_lineage_rows(spark, transcript_dir, tmp_path):
     materialize_batch(batch, 0, out, d, am, lineage_dir=lin)
     again = {r["batch_id"]: r["s"] for r in spark.read.parquet(lin).groupBy("batch_id").agg(F.sum("row_count").alias("s")).collect()}
     assert again == exp
+
+
+def test_record_stream_stage_folds_lineage_into_manifest(spark, transcript_dir, tmp_path):
+    """The streaming lineage folds into the batch pipeline's manifest as a
+    completed stage (rows + per-micro-batch totals), and the fold REFUSES a
+    lineage/snapshot mismatch."""
+    import json
+    import os
+
+    from nospa_rdf_data_cube_validator_spark.functions.linking import (
+        alias_edges,
+        resolve_aliases,
+        surface_dict,
+    )
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import (
+        materialize_batch,
+        record_stream_stage,
+    )
+
+    out = str(tmp_path / "m_edges")
+    lin = str(tmp_path / "m_lineage")
+    wd = str(tmp_path / "m_wd")
+    batch = spark.read.parquet(transcript_dir)
+    d = surface_dict(spark)
+    am = resolve_aliases(alias_edges(spark))
+    materialize_batch(batch, 0, out, d, am, lineage_dir=lin)
+    materialize_batch(batch.limit(7), 1, out, d, am, lineage_dir=lin)
+    entry = record_stream_stage(spark, wd, "kg_edges_streamed", out, lin)
+    assert entry["done"] and entry["streaming"]
+    assert entry["rows"] == spark.read.parquet(out).count()
+    assert sum(entry["micro_batches"].values()) == entry["rows"]
+    assert set(entry["micro_batches"]) == {"0", "1"}
+    manifest = json.load(open(os.path.join(wd, "_MANIFEST.json")))
+    assert manifest["stages"]["kg_edges_streamed"] == entry
+    # a snapshot the lineage doesn't account for must fail loudly
+    batch.limit(3).select(F.lit("x").alias("subj")).withColumn(
+        "batch_id", F.lit(9)
+    ).write.mode("append").partitionBy("batch_id").parquet(out)
+    with pytest.raises(AssertionError, match="lineage"):
+        record_stream_stage(spark, wd, "kg_edges_streamed", out, lin)
