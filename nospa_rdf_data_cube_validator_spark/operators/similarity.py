@@ -156,3 +156,107 @@ def ivf_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-exact IVF (integer-quantized L2)
+# ---------------------------------------------------------------------------
+def _floordiv(num: str, den: str) -> str:
+    """SQL floor division over bigints that evaluates identically in Spark
+    and DuckDB: both engines' % is C-style (sign of dividend), so
+    (num - ((num % den + den) % den)) / den is floor(num/den) exactly,
+    with no float detour."""
+    return f"cast(({num} - ((({num} % {den}) + {den}) % {den})) / {den} as bigint)"
+
+
+def ivf_topk_exact(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF top-k whose EVERY intermediate is int64 — bit-identical across
+    engines, unlike :func:`ivf_topk` whose float centroid means are
+    sum-order-dependent. This is the VERIFICATION twin (pytest runs it
+    against a DuckDB replica and compares rows exactly); ivf_topk's numpy
+    argmin remains the production scale path.
+
+    Recipe (all integer arithmetic): quantize vectors to
+    round(x * scale); seed cell = vec_id % nlist; centroid = per-dim
+    floor-div mean (exact: int64 sums are order-independent); ONE
+    refinement pass reassigning by min squared-L2 distance (ties -> lowest
+    cell); queries probe the nprobe nearest centroids (dist ASC, cell
+    ASC); final top-k by (dist ASC, vec_id ASC). Metric is L2 like FAISS
+    IVF-Flat, not cosine. Long (exploded) form keeps everything in plain
+    relational ops — fine at verification scale; at data scale the
+    mapInPandas argmin path wins."""
+    qdata = data.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+        ).alias("qv"),
+    )
+    long_v = qdata.select(
+        "vec_id", (F.col("vec_id") % nlist).alias("cell"), F.posexplode("qv").alias("i", "v")
+    )
+
+    def centroids_of(assigned_long: DataFrame) -> DataFrame:
+        return (
+            assigned_long.groupBy("cell", "i")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select("cell", "i", F.expr(_floordiv("s", "n")).alias("m"))
+        )
+
+    def reassign(cents: DataFrame) -> DataFrame:
+        d = (
+            long_v.drop("cell")
+            .join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+        return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+            "vec_id", "cell"
+        )
+
+    assign = reassign(centroids_of(long_v))
+    final_cents = centroids_of(
+        long_v.drop("cell").join(assign, "vec_id")
+    )
+
+    q_long = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.posexplode(
+            F.expr(
+                f"transform({q_vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+            )
+        ).alias("i", "qv"),
+    )
+    probe_d = (
+        q_long.join(F.broadcast(final_cents), "i")
+        .groupBy("q_id", "cell")
+        .agg(F.sum((F.col("qv") - F.col("m")) * (F.col("qv") - F.col("m"))).alias("dist"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("cell"))
+    probes = probe_d.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= nprobe
+    ).select("q_id", "cell")
+
+    cand = (
+        long_v.select("vec_id", "i", "v")
+        .join(assign, "vec_id")
+        .join(F.broadcast(probes), "cell")
+    )
+    scored = (
+        cand.join(q_long.withColumnRenamed("qv", "qval"), ["q_id", "i"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum((F.col("v") - F.col("qval")) * (F.col("v") - F.col("qval"))).alias("dist"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= k)

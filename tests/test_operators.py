@@ -234,3 +234,88 @@ def test_ngram_jaccard_bigrams_exact(spark):
     assert got[(1, 2)] == 1.0
     # doc2 {"a b","b c"} vs doc3 {"b c","c d"}: intersection 1, union 3
     assert abs(got[(2, 3)] - 1 / 3) < 1e-9
+
+
+def test_ivf_topk_exact_matches_duckdb_twin(spark):
+    """Cross-engine exactness for the quantized-IVF variant: every
+    intermediate is int64 (quantize -> id%nlist seed -> floor-div centroid
+    means -> squared-L2 argmin -> probe -> top-k), so a DuckDB replica of
+    the same recipe must produce the IDENTICAL (q_id, vec_id, dist, rank)
+    rows — the oracle-grade evidence the float-mean ivf_topk cannot have."""
+    import duckdb
+
+    from nospa_rdf_data_cube_validator_spark.operators.similarity import ivf_topk_exact
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    nlist, nprobe, k, scale, dim = 16, 4, 10, 1_000_000, 64
+    data = spark.read.parquet(path)
+    queries = (
+        data.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    got = {
+        (r["q_id"], r["vec_id"], r["dist"], r["rank"])
+        for r in ivf_topk_exact(
+            data, queries, k=k, nlist=nlist, nprobe=nprobe, scale=scale
+        ).collect()
+    }
+
+    fd = "CAST((s - (((s % n) + n) % n)) / n AS BIGINT)"
+    sql = f"""
+WITH qdata AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM '{path}'
+),
+long_v AS (
+  SELECT vec_id, vec_id % {nlist} AS cell, i, qv[i + 1] AS v
+  FROM qdata, (SELECT unnest(range(0, {dim})) AS i)
+),
+c0 AS (
+  SELECT cell, i, {fd} AS m
+  FROM (SELECT cell, i, SUM(v) AS s, COUNT(*) AS n FROM long_v GROUP BY cell, i)
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT lv.vec_id, c.cell,
+           SUM((lv.v - c.m) * (lv.v - c.m)) AS dist
+    FROM long_v lv JOIN c0 c USING (i)
+    GROUP BY lv.vec_id, c.cell
+    QUALIFY row_number() OVER (PARTITION BY lv.vec_id ORDER BY dist, c.cell) = 1
+  )
+),
+c1 AS (
+  SELECT cell, i, {fd} AS m
+  FROM (SELECT a.cell, lv.i, SUM(lv.v) AS s, COUNT(*) AS n
+        FROM long_v lv JOIN assign a USING (vec_id) GROUP BY a.cell, lv.i)
+),
+q_long AS (
+  SELECT vec_id AS q_id, i, qv[i + 1] AS qval
+  FROM qdata, (SELECT unnest(range(0, {dim})) AS i)
+  WHERE vec_id < 5
+),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT ql.q_id, c.cell, SUM((ql.qval - c.m) * (ql.qval - c.m)) AS dist
+    FROM q_long ql JOIN c1 c USING (i)
+    GROUP BY ql.q_id, c.cell
+    QUALIFY row_number() OVER (PARTITION BY ql.q_id ORDER BY dist, c.cell) <= {nprobe}
+  )
+),
+scored AS (
+  SELECT ql.q_id, lv.vec_id,
+         SUM((lv.v - ql.qval) * (lv.v - ql.qval)) AS dist
+  FROM long_v lv
+  JOIN assign a USING (vec_id)
+  JOIN probes p ON p.cell = a.cell
+  JOIN q_long ql ON ql.q_id = p.q_id AND ql.i = lv.i
+  GROUP BY ql.q_id, lv.vec_id
+)
+SELECT q_id, vec_id, dist,
+       row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+    want = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want
+    assert len(got) == 5 * k
