@@ -119,6 +119,7 @@ _TTL_TOKEN = re.compile(
       (?P<comment>\#[^\n]*)
     | (?P<prefix_decl>@prefix|@base|PREFIX|BASE)
     | (?P<iri><[^>]*>)
+    | (?P<long_literal>"{3}(?:[^"\\]|\\.|"(?!""))*"{3}(?:\^\^(?:<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*)|@[A-Za-z0-9-]+)?)
     | (?P<literal>"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*)|@[A-Za-z0-9-]+)?)
     | (?P<bnode>_:[\w.-]+)
     | (?P<punct>[;,.\[\]()])
@@ -134,9 +135,10 @@ _TTL_TOKEN = re.compile(
 class _TurtleParser:
     """Subset Turtle parser sufficient for W3C-example-class cubes
     (everything in /root/reference/test.ttl): prefixed names, object and
-    predicate lists, anonymous bnodes, typed/lang literals, numerics and
-    booleans. Not a full spec implementation — bulk data belongs in
-    N-Triples/parquet anyway."""
+    predicate lists, anonymous bnodes, collections ``( ... )`` (expanded to
+    rdf:first/rdf:rest lists), typed/lang literals incl. triple-quoted long
+    strings, numerics and booleans. Not a full spec implementation — bulk
+    data belongs in N-Triples/parquet anyway."""
 
     def __init__(self, text: str):
         self.tokens = self._tokenize(text)
@@ -203,9 +205,36 @@ class _TurtleParser:
                 self._parse_predicate_object_list(subj)
             assert self._next() == "]"
             return subj
+        if tok == "(":
+            node, _ = self._parse_collection()
+            return node
         if tok.startswith("_:") or tok.startswith("<") or ":" in tok:
             return tok if tok.startswith("_:") else self._expand(tok)
         raise ValueError(f"unexpected subject token {tok!r}")
+
+    def _parse_collection(self) -> tuple[str, bool]:
+        """After '(' is consumed: parse items until ')' and emit the
+        rdf:first/rdf:rest chain. Returns (head node, is_bnode) — the empty
+        collection is the rdf:nil IRI."""
+        first = qb.PREFIX_RDF + "first"
+        rest = qb.PREFIX_RDF + "rest"
+        nil = qb.PREFIX_RDF + "nil"
+        cells: list[str] = []
+        while self._peek() != ")":
+            if self._peek() is None:
+                raise ValueError("unterminated collection: missing ')'")
+            cell = self._fresh_bnode()
+            cells.append(cell)
+            self._parse_object(cell, first)
+        self._next()  # consume ')'
+        if not cells:
+            return nil, False
+        for i, cell in enumerate(cells):
+            if i + 1 < len(cells):
+                self.rows.append(terms.bnode_row(cell, rest, cells[i + 1]))
+            else:
+                self.rows.append(terms.iri_row(cell, rest, nil))
+        return cells[0], True
 
     def _parse_predicate_object_list(self, subj: str) -> None:
         while True:
@@ -241,8 +270,29 @@ class _TurtleParser:
                 self._parse_predicate_object_list(node)
             assert self._next() == "]"
             return
+        if tok == "(":
+            node, is_bnode = self._parse_collection()
+            self.rows.append(
+                terms.bnode_row(subj, pred, node)
+                if is_bnode
+                else terms.iri_row(subj, pred, node)
+            )
+            return
         if tok.startswith("_:"):
             self.rows.append(terms.bnode_row(subj, pred, tok))
+            return
+        if tok.startswith('"""'):
+            m = re.match(
+                r'^"""(?P<lex>(?:[^"\\]|\\.|"(?!""))*)"""'
+                r"(?:\^\^(?P<dt><[^>]*>|[A-Za-z][\w.-]*:[\w.-]*)|@(?P<lang>[A-Za-z0-9-]+))?$",
+                tok,
+                re.DOTALL,
+            )
+            lex = _unescape(m.group("lex"))
+            dt = m.group("dt")
+            if dt:
+                dt = dt[1:-1] if dt.startswith("<") else self._expand(dt)
+            self.rows.append(terms.lit_row(subj, pred, lex, dt or "", m.group("lang") or ""))
             return
         if tok.startswith('"'):
             m = re.match(

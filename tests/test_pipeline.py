@@ -504,3 +504,40 @@ def test_turtle_roundtrip_property(spark, tmp_path):
         assert back.join(df, k, "left_anti").count() == 0
 
     run()
+
+
+def test_turtle_collections_and_long_literals(spark):
+    """Turtle collections expand to rdf:first/rdf:rest lists (nested + empty
+    + subject position) and triple-quoted long literals keep embedded quotes
+    and newlines."""
+    from nospa_rdf_data_cube_validator_spark import terms as _t
+
+    ttl = '''@prefix ex: <http://example.org/> .
+ex:s ex:list ( ex:a "two" ( ex:nested ) ) .
+ex:s ex:empty () .
+( ex:x ) ex:isSubject ex:ok .
+ex:s ex:long """line one
+line "quoted" two""" .
+'''
+    rows = _TurtleParser_rows(ttl)
+    trip = {(s, p, o) for s, p, o, *_ in rows}
+    first, rest, nil = (_RDF + x for x in ("first", "rest", "nil"))
+    # chain: s -list-> c1(-first->a) -rest-> c2(-first->"two") -rest-> c3(-first-> nested-cell) -rest-> nil
+    head = next(o for s, p, o in trip if p == "http://example.org/list")
+    c1 = head
+    assert (c1, first, "http://example.org/a") in trip
+    c2 = next(o for s, p, o in trip if s == c1 and p == rest)
+    assert (c2, first, _t.encode_literal("two")) in trip
+    c3 = next(o for s, p, o in trip if s == c2 and p == rest)
+    inner = next(o for s, p, o in trip if s == c3 and p == first)
+    assert (inner, first, "http://example.org/nested") in trip
+    assert (inner, rest, nil) in trip
+    assert (c3, rest, nil) in trip
+    assert ("http://example.org/s", "http://example.org/empty", nil) in trip
+    subj_cell = next(s for s, p, o in trip if p == "http://example.org/isSubject")
+    assert (subj_cell, first, "http://example.org/x") in trip
+    assert (
+        "http://example.org/s",
+        "http://example.org/long",
+        _t.encode_literal('line one\nline "quoted" two'),
+    ) in trip
