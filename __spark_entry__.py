@@ -296,13 +296,16 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed approximate top-10 (no SQL oracle: approximate path;
-    recall vs brute force is asserted in tests)."""
+    """IVF-bucketed approximate top-10 via the cross-engine-exact
+    integer-quantized variant (every intermediate int64, so the DuckDB
+    oracle replicates the recipe bit-for-bit; the float-centroid
+    production ivf_topk keeps its recall pytest instead — float means are
+    sum-order-dependent and cannot be oracle-exact)."""
     e = _t(spark, sf_dir, "embeddings")
     qs = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return similarity.ivf_topk(e.where(F.col("vec_id") >= 5), qs, k=10)
+    return similarity.ivf_topk_exact(e.where(F.col("vec_id") >= 5), qs, k=10)
 
 
 # --- text analysis -----------------------------------------------------------
@@ -1299,6 +1302,64 @@ linked AS (
               FROM embeddings d, embeddings q
               WHERE q.vec_id < 5 AND d.vec_id >= 5
             ) WHERE rank <= 10
+        """,
+        # integer-quantized IVF (operators/similarity.py::ivf_topk_exact):
+        # every intermediate is int64, so this replica is bit-exact.
+        # floordiv(s, n) below is the %-based floor division that evaluates
+        # identically in Spark and DuckDB (both % are C-style).
+        "ann_ivf": """
+            WITH qdata AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id >= 5
+            ),
+            long_v AS (
+              SELECT vec_id, vec_id % 16 AS cell, i, qv[i + 1] AS v
+              FROM qdata, (SELECT unnest(range(0, 64)) AS i)
+            ),
+            c0 AS (
+              SELECT cell, i, CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS m
+              FROM (SELECT cell, i, SUM(v) AS s, COUNT(*) AS n FROM long_v GROUP BY cell, i)
+            ),
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT lv.vec_id, c.cell, SUM((lv.v - c.m) * (lv.v - c.m)) AS dist
+                FROM long_v lv JOIN c0 c USING (i)
+                GROUP BY lv.vec_id, c.cell
+                QUALIFY row_number() OVER (PARTITION BY lv.vec_id ORDER BY dist, c.cell) = 1
+              )
+            ),
+            c1 AS (
+              SELECT cell, i, CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS m
+              FROM (SELECT a.cell, lv.i, SUM(lv.v) AS s, COUNT(*) AS n
+                    FROM long_v lv JOIN assign a USING (vec_id) GROUP BY a.cell, lv.i)
+            ),
+            q_long AS (
+              SELECT vec_id AS q_id, i,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))[i + 1] AS qval
+              FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
+              WHERE vec_id < 5
+            ),
+            probes AS (
+              SELECT q_id, cell FROM (
+                SELECT ql.q_id, c.cell, SUM((ql.qval - c.m) * (ql.qval - c.m)) AS dist
+                FROM q_long ql JOIN c1 c USING (i)
+                GROUP BY ql.q_id, c.cell
+                QUALIFY row_number() OVER (PARTITION BY ql.q_id ORDER BY dist, c.cell) <= 4
+              )
+            ),
+            scored AS (
+              SELECT ql.q_id, lv.vec_id, SUM((lv.v - ql.qval) * (lv.v - ql.qval)) AS dist
+              FROM long_v lv
+              JOIN assign a USING (vec_id)
+              JOIN probes p ON p.cell = a.cell
+              JOIN q_long ql ON ql.q_id = p.q_id AND ql.i = lv.i
+              GROUP BY ql.q_id, lv.vec_id
+            )
+            SELECT q_id, vec_id, dist,
+                   row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+            FROM scored
+            QUALIFY rank <= 10
         """,
         "text_lang": _text_lang_sql(),
         "text_quality": _text_quality_sql(),
