@@ -141,7 +141,18 @@ def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
 # checkpoint-resumable runner
 # ---------------------------------------------------------------------------
 class StageRunner:
-    """Parquet-snapshot + manifest stage runner with per-partition lineage."""
+    """Parquet-snapshot + manifest stage runner with per-partition lineage.
+
+    Snapshots follow Iceberg's commit discipline at stand-in fidelity: each
+    (re)build of a stage writes a NEW immutable version directory
+    ``<stage>/v<N>`` and then atomically flips the manifest pointer
+    (write-temp + rename), so a kill at ANY point leaves the previous
+    snapshot intact and readable — data files are never overwritten in
+    place. The manifest keeps the full snapshot ``history`` per stage
+    (version, rows, seconds, ts) and :meth:`read_snapshot` time-travels to
+    any retained version, mirroring Iceberg's snapshot log / ``VERSION AS
+    OF`` reads. Pre-versioning layouts (data directly under ``<stage>/``)
+    are still read transparently."""
 
     def __init__(self, spark: SparkSession, workdir: str):
         self.spark = spark
@@ -170,25 +181,67 @@ class StageRunner:
         )
         lineage.write.mode("overwrite").parquet(os.path.join(self.workdir, f"_lineage_{stage}"))
 
-    def run(self, stage: str, build) -> DataFrame:
+    def _snapshot_path(self, stage: str, info: dict) -> str:
+        base = os.path.join(self.workdir, stage)
+        version = info.get("version")
+        if version is None:
+            return base  # pre-versioning flat layout
+        return os.path.join(base, f"v{version}")
+
+    def run(self, stage: str, build, rerun: bool = False) -> DataFrame:
         """Return the stage's snapshot, computing it only if not already
-        materialized (resume-from-checkpoint semantics)."""
-        path = os.path.join(self.workdir, stage)
+        materialized (resume-from-checkpoint semantics). ``rerun=True``
+        forces a rebuild into a NEW snapshot version; prior versions stay
+        readable via :meth:`read_snapshot`."""
         info = self.manifest["stages"].get(stage)
-        if info and info.get("done") and os.path.exists(path):
-            return self.spark.read.parquet(path)
+        if not rerun and info and info.get("done"):
+            path = self._snapshot_path(stage, info)
+            if os.path.exists(path):
+                return self.spark.read.parquet(path)
+        version = (info or {}).get("version")
+        version = 1 if version is None else version + 1
+        path = os.path.join(self.workdir, stage, f"v{version}")
+        if os.path.exists(path):
+            # a version dir the manifest never committed = leftovers of a
+            # killed write; safe to clear (the committed snapshot, if any,
+            # lives in a LOWER version dir the pointer still references)
+            import shutil
+
+            shutil.rmtree(path)
         t0 = time.time()
         df = build()
-        df.write.mode("overwrite").parquet(path)
+        # immutable new version; the manifest pointer flips only after the
+        # write succeeds, so a kill mid-write cannot corrupt the previous
+        # snapshot (Iceberg's write-new-then-commit discipline)
+        df.write.mode("errorifexists").parquet(path)
         out = self.spark.read.parquet(path)
         self._lineage(stage, out)
-        self.manifest["stages"][stage] = {
+        entry = {
             "done": True,
             "rows": out.count(),
             "seconds": round(time.time() - t0, 3),
+            "version": version,
         }
+        history = (info or {}).get("history", [])
+        entry["history"] = history + [
+            {"version": version, "rows": entry["rows"], "seconds": entry["seconds"], "ts": round(time.time(), 3)}
+        ]
+        self.manifest["stages"][stage] = entry
         self._save()
         return out
+
+    def read_snapshot(self, stage: str, version: int | None = None) -> DataFrame:
+        """Time-travel read: the stage's current snapshot, or any retained
+        prior ``version`` (Iceberg ``VERSION AS OF`` stand-in)."""
+        info = self.manifest["stages"].get(stage)
+        if info is None:
+            raise KeyError(f"stage {stage!r} has no snapshot")
+        if version is None:
+            return self.spark.read.parquet(self._snapshot_path(stage, info))
+        known = {h["version"] for h in info.get("history", [])} | {info.get("version")}
+        if version not in known:
+            raise KeyError(f"stage {stage!r} has no version {version} (known: {sorted(k for k in known if k)})")
+        return self.spark.read.parquet(os.path.join(self.workdir, stage, f"v{version}"))
 
     def run_table(self, stage: str, build, buckets: int = 32) -> DataFrame:
         """Like :meth:`run`, but the snapshot is a subj-bucketed TABLE

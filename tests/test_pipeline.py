@@ -541,3 +541,38 @@ line "quoted" two""" .
         "http://example.org/long",
         _t.encode_literal('line one\nline "quoted" two'),
     ) in trip
+
+
+def test_stage_runner_versioned_snapshots_time_travel(spark, tmp_path):
+    """Iceberg-discipline snapshots: a rerun writes a NEW version and flips
+    the manifest pointer; the prior version stays readable via
+    read_snapshot (time travel); a crashed (uncommitted) version dir is
+    cleared on the next attempt instead of corrupting anything."""
+    import shutil
+
+    wd = str(tmp_path / "ver_wd")
+    runner = StageRunner(spark, wd)
+    df1 = spark.createDataFrame([(1,), (2,)], "x int")
+    out1 = runner.run("nums", lambda: df1)
+    assert out1.count() == 2
+    assert runner.manifest["stages"]["nums"]["version"] == 1
+    # resume: same version, no rebuild
+    assert runner.run("nums", lambda: (_ for _ in ()).throw(AssertionError("rebuilt"))).count() == 2
+    # rerun -> v2; v1 still readable
+    out2 = runner.run("nums", lambda: spark.createDataFrame([(1,), (2,), (3,)], "x int"), rerun=True)
+    assert out2.count() == 3
+    assert runner.manifest["stages"]["nums"]["version"] == 2
+    assert runner.read_snapshot("nums").count() == 3
+    assert runner.read_snapshot("nums", version=1).count() == 2
+    assert [h["version"] for h in runner.manifest["stages"]["nums"]["history"]] == [1, 2]
+    with pytest.raises(KeyError, match="no version 9"):
+        runner.read_snapshot("nums", version=9)
+    # crashed write simulation: uncommitted v3 dir exists, pointer at v2 ->
+    # the next rerun clears it and commits a fresh v3
+    stale = os.path.join(wd, "nums", "v3")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-garbage"), "w").write("junk")
+    out3 = runner.run("nums", lambda: spark.createDataFrame([(9,)], "x int"), rerun=True)
+    assert out3.count() == 1
+    assert runner.manifest["stages"]["nums"]["version"] == 3
+    assert runner.read_snapshot("nums", version=2).count() == 3
