@@ -887,6 +887,31 @@ def q_enc_cube_ic12(spark, sf_dir):
     return enc.decode(v.ic12(), ["obs"]).select("obs")
 
 
+def q_bucketed_cube_ic12(spark, sf_dir):
+    """CubeValidator.ic12 off the AT-REST bucketed table — the default
+    run_pipeline(bucketed=True) layout, end to end through
+    StageRunner.run_table: the seeded lineitem cube is materialized as a
+    subj-bucketed managed table (HashPartitioning(subj) at rest, no
+    observation-scale Exchange in the validate plan) and the validator
+    reads the TABLE, not the in-memory frame. Same oracle as cube_ic12."""
+    import hashlib
+    import tempfile
+
+    from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+    from nospa_rdf_data_cube_validator_spark.pipeline import StageRunner
+    from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+    # stable per-(sf_dir) workdir: rebuilt cold, resumed warm within a
+    # session — both paths produce the identical deterministic cube
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    workdir = os.path.join(tempfile.gettempdir(), f"nospa_gate_atrest_{key}")
+    runner = StageRunner(spark, workdir)
+    cube = runner.run_table(
+        "gate_cube_atrest", lambda: _lineitem_cube(spark, sf_dir), buckets=8
+    )
+    return CubeValidator(TripleStore(cube)).ic12()
+
+
 def q_cube_ic2(spark, sf_dir):
     """CubeValidator.ic2 (unique DSD) -> (ds, n_dsds)."""
     return _slice_validator(spark, sf_dir).ic2().select("ds", "n_dsds")
@@ -966,21 +991,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the correctness driver gates the FIRST 50 entries, so all
-    # oracle-backed queries whose code paths changed recently sit up front; the
-    # tail holds duplicates of already-gated plans (enc_* re-run the same
-    # validators over int64 ids; events_latest/stats re-exercise window_top1 /
-    # count_distinct shapes) and the two documented no-oracle entries.
+    # Order matters: the correctness driver gates the FIRST 50 entries. Rule:
+    # every oracle-backed query whose code path changed recently sits inside
+    # the window — r04 rotates enc_cube_ic1/11/12 (the DEFAULT
+    # encoded+bucketed engine since 4cd5b09/c96475d), ann_ivf (new int64
+    # oracle, acd3119), and bucketed_cube_ic12 (at-rest StageRunner path) IN.
+    # UNGATED tail, explicitly: anti_join/semi_join/set_except/window_top1/
+    # count_distinct (generic TPC-ish shapes whose join/window/agg families
+    # are re-exercised by the in-window cube_ic* plans — cube_ic4/7 anti,
+    # cube_ic17 count-distinct, ic12 window), events_latest/events_stats
+    # (same families), and text_fingerprint (documented no-oracle:
+    # 64-bit rolling hash not expressible in DuckDB without overflow UB).
     return {
         "ic1_exactly_one": q_ic1_exactly_one,
         "ic12_duplicates": q_ic12_duplicates,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
+        "enc_cube_ic1": q_enc_cube_ic1,
+        "enc_cube_ic11": q_enc_cube_ic11,
+        "enc_cube_ic12": q_enc_cube_ic12,
+        "ann_ivf": q_ann_ivf,
         "path_join": q_path_join,
         "star_join": q_star_join,
-        "count_distinct": q_count_distinct,
-        "window_top1": q_window_top1,
-        "set_except": q_set_except,
         "ic17_group_size": q_ic17_group_size,
         "closure": q_closure,
         "kg_transcripts": q_kg_transcripts,
@@ -1022,13 +1052,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
         "kg_turn_order": q_kg_turn_order,
-        # --- tail: duplicates of gated plans + documented no-oracle entries ---
-        "enc_cube_ic1": q_enc_cube_ic1,
-        "enc_cube_ic11": q_enc_cube_ic11,
-        "enc_cube_ic12": q_enc_cube_ic12,
+        "bucketed_cube_ic12": q_bucketed_cube_ic12,
+        # --- UNGATED tail (positions 51+; see ordering rule above) ----------
+        "anti_join": q_anti_join,
+        "count_distinct": q_count_distinct,
+        "semi_join": q_semi_join,
+        "set_except": q_set_except,
+        "window_top1": q_window_top1,
         "events_latest": q_events_latest,
         "events_stats": q_events_stats,
-        "ann_ivf": q_ann_ivf,
         "text_fingerprint": q_text_fingerprint,
     }
 
@@ -1499,6 +1531,20 @@ linked AS (
             )
             SELECT obs FROM flagged WHERE c > 1 AND obs != m
         """,
+        "bucketed_cube_ic12": LI_CTE
+        + """
+            , complete AS (
+              SELECT obs, ds,
+                     array_to_string(list_sort(list_distinct([v_part, v_supp, v_qty])), chr(1)) AS k
+              FROM li WHERE v_supp IS NOT NULL
+            ),
+            flagged AS (
+              SELECT obs, min(obs) OVER (PARTITION BY ds, k) AS m,
+                     count(*) OVER (PARTITION BY ds, k) AS c
+              FROM complete
+            )
+            SELECT obs FROM flagged WHERE c > 1 AND obs != m
+        """,
         "enc_cube_ic1": LI_CTE
         + """
             SELECT obs, 2 AS n_datasets FROM li WHERE extra_ds = 1
@@ -1522,7 +1568,10 @@ linked AS (
             SELECT obs FROM flagged WHERE c > 1 AND obs != m
         """,
         "events_sessionize": """
-            SELECT user_id, sum(new_sess) AS n_sessions FROM (
+            -- CAST: DuckDB sum(int) returns HUGEINT which the driver hashes as
+            -- float64 ("56.0") vs Spark's int64 ("56") — values identical, hash
+            -- red. BIGINT restores the exact-hash contract (r03 finding #1).
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
               SELECT user_id,
                      CASE WHEN prev_ts IS NULL
                                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
