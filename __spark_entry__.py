@@ -333,11 +333,15 @@ def q_text_winnow(spark, sf_dir):
 
 
 def q_multimodal(spark, sf_dir):
-    """Binary-column plumbing: docs as opaque media payloads -> features via
-    Arrow-batched mapInPandas (decode stubbed deterministically)."""
+    """Binary-column media pipeline with REAL decode: docs become valid
+    BMP/WAV payloads (video stays opaque), features come from byte-level
+    header parsing inside the Arrow-batched mapInPandas kernel. The oracle
+    predicts every decoded field from (doc_id, text-length) arithmetic;
+    the payload md5 is pytest-pinned instead (a SQL oracle cannot rebuild
+    the binary containers)."""
     media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media).select(
-        "media_id", "kind", "n_bytes", "width", "height", "checksum"
+        "media_id", "kind", "n_bytes", "width", "height", "sample_rate", "duration_ms"
     )
 
 
@@ -1338,7 +1342,9 @@ linked AS (
         # integer-quantized IVF (operators/similarity.py::ivf_topk_exact):
         # every intermediate is int64, so this replica is bit-exact.
         # floordiv(s, n) below is the %-based floor division that evaluates
-        # identically in Spark and DuckDB (both % are C-style).
+        # identically in Spark and DuckDB (both % are C-style); the final
+        # division is true integer division (// here, `div` in Spark) so
+        # there is no 2^53 double ceiling on per-cell sums.
         "ann_ivf": """
             WITH qdata AS (
               SELECT vec_id,
@@ -1350,7 +1356,7 @@ linked AS (
               FROM qdata, (SELECT unnest(range(0, 64)) AS i)
             ),
             c0 AS (
-              SELECT cell, i, CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS m
+              SELECT cell, i, ((s - (((s % n) + n) % n)) // n) AS m
               FROM (SELECT cell, i, SUM(v) AS s, COUNT(*) AS n FROM long_v GROUP BY cell, i)
             ),
             assign AS (
@@ -1362,7 +1368,7 @@ linked AS (
               )
             ),
             c1 AS (
-              SELECT cell, i, CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS m
+              SELECT cell, i, ((s - (((s % n) + n) % n)) // n) AS m
               FROM (SELECT a.cell, lv.i, SUM(lv.v) AS s, COUNT(*) AS n
                     FROM long_v lv JOIN assign a USING (vec_id) GROUP BY a.cell, lv.i)
             ),
@@ -1401,13 +1407,23 @@ linked AS (
                    len(regexp_extract_all(text, {_sql_quote(textual.BPE_ISH_PATTERN)})) AS bpe_ish_tokens
             FROM documents
         """,
+        # real container arithmetic: BMP file = 54-byte header + 4-aligned
+        # rows; WAV = 44-byte header + 2 bytes/sample mono PCM. The engine
+        # READS these from the payload bytes; the oracle recomputes them
+        # from the same (doc_id, text-length) parameters the builder used.
         "multimodal": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-                   CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-                   CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-                   md5(text) AS checksum
+                   CAST(CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 54 + (((doc_id % 61 + 1) * 3 + 3) // 4) * 4 * (doc_id % 13 + 1)
+                        WHEN 1 THEN 44 + 2 * (octet_length(encode(text)) % 500 + 50)
+                        ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 61 + 1 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 13 + 1 END AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 * (doc_id % 4 + 1) END AS INT) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 3 = 1
+                             THEN ((octet_length(encode(text)) % 500 + 50) * 1000) // (8000 * (doc_id % 4 + 1))
+                        END AS INT) AS duration_ms
             FROM documents
         """,
         "multimodal_frames": """

@@ -164,9 +164,10 @@ def ivf_topk(
 def _floordiv(num: str, den: str) -> str:
     """SQL floor division over bigints that evaluates identically in Spark
     and DuckDB: both engines' % is C-style (sign of dividend), so
-    (num - ((num % den + den) % den)) / den is floor(num/den) exactly,
-    with no float detour."""
-    return f"cast(({num} - ((({num} % {den}) + {den}) % {den})) / {den} as bigint)"
+    num - ((num % den + den) % den) is exactly divisible by den, and the
+    final division uses Spark's integral `div` (the DuckDB oracle's replica
+    uses `//`) — all-int64 end to end, no 2^53 double-precision ceiling."""
+    return f"(({num} - ((({num} % {den}) + {den}) % {den})) div {den})"
 
 
 def ivf_topk_exact(

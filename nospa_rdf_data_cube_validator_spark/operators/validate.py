@@ -999,6 +999,35 @@ class CubeValidator:
     # ------------------------------------------------------------------
     # IC-20 / IC-21 — hierarchical code lists (pcp* closure)
     # ------------------------------------------------------------------
+    def _hcl(self) -> DataFrame:
+        """(cl): subjects typed qb:HierarchicalCodeList — shared by every
+        IC-20/21 sub-plan (memoized like the other metadata frames)."""
+        return self._cached(
+            "hcl",
+            lambda: self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(
+                F.col("subj").alias("cl")
+            ),
+        )
+
+    def _pcp_raw(self) -> DataFrame:
+        """(cl, p, obj_kind): parentChildProperty declarations on typed
+        hierarchical code lists, before the direct/inverse kind split."""
+        return self._cached(
+            "pcp_raw",
+            lambda: self.store.p(qb.QB_PARENT_CHILD_PROPERTY, with_kind=True)
+            .select(F.col("subj").alias("cl"), F.col("obj").alias("p"), "obj_kind")
+            .join(self._hcl(), "cl", "left_semi"),
+        )
+
+    def _hcl_roots(self) -> DataFrame:
+        """(cl, node): qb:hierarchyRoot declarations on typed lists."""
+        return self._cached(
+            "hcl_roots",
+            lambda: self.store.p(qb.QB_HIERARCHY_ROOT)
+            .select(F.col("subj").alias("cl"), F.col("obj").alias("node"))
+            .join(self._hcl(), "cl", "left_semi"),
+        )
+
     def _hierarchy_conn(self, direction: str) -> DataFrame:
         """(cl, node) reachable-from-root sets per hierarchical code list.
 
@@ -1007,10 +1036,7 @@ class CubeValidator:
         flipped edges (ValidatorBase.java:264-268 swaps subject/object).
         Code lists with no pcp declared for the direction fall back to
         root membership only (ValidatorIC20_21.java:144-147)."""
-        hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
-        pcp_raw = self.store.p(qb.QB_PARENT_CHILD_PROPERTY, with_kind=True).select(
-            F.col("subj").alias("cl"), F.col("obj").alias("p"), "obj_kind"
-        ).join(hcl, "cl", "left_semi")
+        pcp_raw = self._pcp_raw()
         if direction == "direct":
             cl_pcp = pcp_raw.where(F.col("obj_kind") == terms.KIND_IRI).select("cl", F.col("p").alias("pcp"))
         else:
@@ -1023,9 +1049,7 @@ class CubeValidator:
                 .select("cl", "pcp")
             )
         cl_pcp = cl_pcp.distinct()
-        roots = self.store.p(qb.QB_HIERARCHY_ROOT).select(
-            F.col("subj").alias("cl"), F.col("obj").alias("node")
-        ).join(hcl, "cl", "left_semi")
+        roots = self._hcl_roots()
 
         pcp_list = cl_pcp.select(F.col("pcp").alias("pred")).distinct()
         edges = self.store.df.join(F.broadcast(pcp_list), "pred", "left_semi")
@@ -1045,12 +1069,7 @@ class CubeValidator:
         (IntegrityConstraint.java:265-271,280-288), which SparqlValidator
         substitutes into IC-20B/21B one at a time regardless of which list
         declared them (SparqlValidator.java:219-234)."""
-        hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
-        pcp_raw = (
-            self.store.p(qb.QB_PARENT_CHILD_PROPERTY, with_kind=True)
-            .select(F.col("subj").alias("cl"), F.col("obj").alias("p"), "obj_kind")
-            .join(hcl, "cl", "left_semi")
-        )
+        pcp_raw = self._pcp_raw()
         if direction == "direct":
             return pcp_raw.where(F.col("obj_kind") == terms.KIND_IRI).select(
                 F.col("p").alias("pcp")
@@ -1076,14 +1095,9 @@ class CubeValidator:
         is flagged for a list when SOME global pcp fails to connect it.
         Zero declared pcps -> zero violations (the B query never runs).
         No single-value guard: every ``?obs ?dim ?v`` binding is checked."""
-        hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
-        dim_hcl = self._dim_code_lists().join(hcl, "cl", "left_semi")
+        dim_hcl = self._dim_code_lists().join(self._hcl(), "cl", "left_semi")
         pcps = self._global_pcps(direction)
-        roots = (
-            self.store.p(qb.QB_HIERARCHY_ROOT)
-            .select(F.col("subj").alias("cl"), F.col("obj").alias("node"))
-            .join(hcl, "cl", "left_semi")
-        )
+        roots = self._hcl_roots()
         edge_base = self.store.df.join(
             F.broadcast(pcps.select(F.col("pcp").alias("pred"))), "pred", "left_semi"
         )
@@ -1119,8 +1133,7 @@ class CubeValidator:
     def _ic20_21(self, direction: str) -> DataFrame:
         if self.strict_w3c:
             return self._ic20_21_strict(direction)
-        hcl = self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(F.col("subj").alias("cl"))
-        dim_hcl = self._dim_code_lists().join(hcl, "cl", "left_semi")
+        dim_hcl = self._dim_code_lists().join(self._hcl(), "cl", "left_semi")
         conn = self._hierarchy_conn(direction).withColumnRenamed("node", "value")
         vals = self._obs_dim_single_vals(dim_hcl).select("dim", "value").distinct()
         ok = (

@@ -182,6 +182,11 @@ class StageRunner:
         lineage.write.mode("overwrite").parquet(os.path.join(self.workdir, f"_lineage_{stage}"))
 
     def _snapshot_path(self, stage: str, info: dict) -> str:
+        # streamed stages (record_stream_stage) live wherever the stream
+        # sink wrote them; the manifest entry carries the explicit path
+        explicit = info.get("path")
+        if explicit is not None:
+            return explicit
         base = os.path.join(self.workdir, stage)
         version = info.get("version")
         if version is None:

@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 CHECKPOINT_EVERY = 3
 
 
+def _fits(df: DataFrame, threshold: int) -> bool:
+    """Size probe that never scans past threshold+1 rows: a full count() on
+    an observation-scale frame would pay a whole extra job per closure call
+    just to decide the driver-vs-distributed branch."""
+    return df.limit(threshold + 1).count() <= threshold
+
+
 def transitive_closure(
     seeds: DataFrame,
     edges: DataFrame,
@@ -52,7 +59,7 @@ def transitive_closure(
     # of recomputing its upstream plan per hop.
     edges = edges.localCheckpoint(eager=True)
     seeds_d = seeds.dropDuplicates().localCheckpoint(eager=True)
-    if edges.count() <= driver_threshold and seeds_d.count() <= driver_threshold:
+    if _fits(edges, driver_threshold) and _fits(seeds_d, driver_threshold):
         return _closure_on_driver(seeds_d, edges, tag_cols, list(edge_tags))
     reached = seeds_d
     frontier = reached
@@ -143,8 +150,7 @@ def connected_components(
     below ``driver_threshold`` edges a driver-side union-find replaces the
     iterative loop (identical output, none of the per-round job overhead).
     """
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
+    if _fits(edges, driver_threshold):
         parent: dict = {}
 
         def find(x):

@@ -149,12 +149,41 @@ class _TurtleParser:
 
     @staticmethod
     def _tokenize(text: str) -> list[str]:
+        """Tokenize with FULL coverage: any non-whitespace the token grammar
+        does not recognize raises instead of being silently skipped (the
+        reference's Jena fails loudly on syntax it can't parse,
+        Main.java:30-33). N3-only constructs (formulas ``{ }``, rules
+        ``=>``/``<=``, equality ``=``, quantifiers ``@forAll/@forSome``,
+        paths ``!``/``^``) get a specific message: this reader implements
+        the Turtle-compatible subset of N3 only."""
         toks = []
+        last = 0
         for m in _TTL_TOKEN.finditer(text):
+            gap = text[last : m.start()].strip()
+            if gap:
+                raise _TurtleParser._unsupported(gap)
+            last = m.end()
             if m.lastgroup == "comment":
                 continue
             toks.append(m.group(0))
+        tail = text[last:].strip()
+        if tail:
+            raise _TurtleParser._unsupported(tail)
         return toks
+
+    _N3_ONLY = ("{", "}", "=>", "<=", "=", "@forAll", "@forSome", "!", "^")
+
+    @staticmethod
+    def _unsupported(snippet: str) -> ValueError:
+        head = snippet.split()[0][:40]
+        if any(head.startswith(t) for t in _TurtleParser._N3_ONLY):
+            return ValueError(
+                f"N3-only syntax {head!r}: this reader implements the "
+                "Turtle-compatible subset of N3 (no formulas, rules, "
+                "quantifiers or property paths) — convert to Turtle or "
+                "N-Triples first"
+            )
+        return ValueError(f"unsupported Turtle syntax at {head!r}")
 
     def _peek(self):
         return self.tokens[self.pos] if self.pos < len(self.tokens) else None
@@ -426,8 +455,12 @@ class _RdfXmlParser:
         if parse_type == "Resource":
             inner = self._fresh_bnode()
             self.rows.append(terms.bnode_row(subj, pred, inner))
+            # one shared counter across the implied node's properties, so
+            # sibling rdf:li under parseType=Resource number _1, _2, ...
+            # (same per-node-element counter semantics as _node)
+            inner_li = [0]
             for sub in prop:
-                self._property(inner, sub, lang)
+                self._property(inner, sub, lang, inner_li)
             return
         if parse_type == "Collection":
             # children become an rdf:first/rdf:rest linked list
@@ -494,8 +527,10 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     reference's default for unrecognized extensions, Main.java:24-25).
 
     .nt/.ntriples -> distributed N-Triples; .ttl/.n3 -> driver Turtle
-    subset; .xml/.rdf/.owl -> driver RDF/XML subset; .parquet -> canonical
-    at-rest layout."""
+    subset (.n3 means the TURTLE-COMPATIBLE subset of N3 — formulas,
+    rules, quantifiers and paths raise a specific ValueError rather than
+    parsing silently wrong); .xml/.rdf/.owl -> driver RDF/XML subset;
+    .parquet -> canonical at-rest layout."""
     fmt = (fmt or path.rsplit(".", 1)[-1]).lower()
     if fmt in ("nt", "ntriple", "ntriples", "n-triple"):
         return read_ntriples(spark, path)

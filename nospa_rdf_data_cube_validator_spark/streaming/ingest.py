@@ -170,11 +170,13 @@ def record_stream_stage(
     """Fold a finished streaming run into the batch pipeline's manifest.
 
     Writes one StageRunner-compatible stage entry (``done``/``rows``) whose
-    ``micro_batches`` map carries the per-batch lineage row totals, so a
-    subsequent batch `run_pipeline` resume sees the streamed snapshot as a
-    completed stage and the lineage chain is unbroken across the
-    batch/streaming boundary (north rule: per-partition lineage +
-    checkpoint-resume)."""
+    ``micro_batches`` map carries the per-batch lineage row totals AND whose
+    ``path`` records the streamed snapshot's actual data directory, so a
+    subsequent batch `run_pipeline` resume (StageRunner._snapshot_path
+    honors ``path`` before the ``<workdir>/<stage>[/vN]`` convention) reads
+    the streamed data instead of silently rebuilding — the lineage chain is
+    unbroken across the batch/streaming boundary (north rule: per-partition
+    lineage + checkpoint-resume)."""
     import json
     import os
 
@@ -184,10 +186,13 @@ def record_stream_stage(
         for r in lineage.groupBy("batch_id").agg(F.sum("row_count").alias("rows")).collect()
     }
     rows = spark.read.parquet(out_dir).count()
-    assert rows == sum(per_batch.values()), (
-        f"lineage total {sum(per_batch.values())} != snapshot rows {rows} — "
-        "a micro-batch wrote data without lineage (or vice versa)"
-    )
+    if rows != sum(per_batch.values()):
+        # hard error, not assert: -O must not let a data/lineage mismatch
+        # be recorded as a completed stage
+        raise ValueError(
+            f"lineage total {sum(per_batch.values())} != snapshot rows {rows} — "
+            "a micro-batch wrote data without lineage (or vice versa)"
+        )
     os.makedirs(workdir, exist_ok=True)
     manifest_path = os.path.join(workdir, "_MANIFEST.json")
     manifest = {"stages": {}}
@@ -198,6 +203,7 @@ def record_stream_stage(
         "done": True,
         "rows": rows,
         "streaming": True,
+        "path": os.path.abspath(out_dir),
         "micro_batches": dict(sorted(per_batch.items(), key=lambda kv: int(kv[0]))),
     }
     manifest["stages"][stage] = entry

@@ -175,12 +175,70 @@ def test_fingerprint_whitespace_insensitive(spark):
 
 
 def test_multimodal_features(spark):
+    """Real decode: the engine parses the BMP/WAV headers it wrote; every
+    value checked here is what a byte-level reading of the container gives."""
+    import hashlib
+
     docs = spark.createDataFrame([(0, "abc"), (1, "defgh"), (2, "ij")], "doc_id long, text string")
     media = multimodal.docs_as_media(docs)
     feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
-    assert feats[0]["kind"] == "image" and feats[1]["kind"] == "audio"
-    assert feats[0]["n_bytes"] == 3 and feats[0]["width"] == 4 and feats[0]["height"] == 22
-    assert len(feats[0]["checksum"]) == 32
+    # doc 0 -> 1x1 24bpp BMP: stride 4, n_bytes 54 + 4
+    assert feats[0]["kind"] == "image"
+    assert (feats[0]["width"], feats[0]["height"], feats[0]["n_bytes"]) == (1, 1, 58)
+    assert feats[0]["sample_rate"] is None and feats[0]["duration_ms"] is None
+    # doc 1 -> WAV: 16 kHz mono PCM, 55 samples -> 44 + 110 bytes, 3 ms
+    assert feats[1]["kind"] == "audio"
+    assert (feats[1]["sample_rate"], feats[1]["duration_ms"], feats[1]["n_bytes"]) == (
+        16000,
+        3,
+        154,
+    )
+    assert feats[1]["width"] is None and feats[1]["height"] is None
+    # doc 2 -> opaque video bytes
+    assert feats[2]["kind"] == "video" and feats[2]["n_bytes"] == 2
+    assert feats[2]["width"] is None and feats[2]["sample_rate"] is None
+    # checksum is the md5 of the ACTUAL container bytes
+    assert feats[0]["checksum"] == hashlib.md5(multimodal.build_bmp(1, 1, b"abc")).hexdigest()
+    assert (
+        feats[1]["checksum"]
+        == hashlib.md5(multimodal.build_wav(16000, 55, b"defgh")).hexdigest()
+    )
+
+
+def test_bmp_wav_parsers_golden():
+    """Parsers pinned against hand-assembled containers (independent of the
+    builders), plus build->parse roundtrip and malformed-raises."""
+    import struct
+
+    import pytest as _pytest
+
+    # hand-built 2x2 BMP header (no pixels needed for header parse)
+    bmp = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0
+    )
+    assert multimodal.parse_bmp_header(bmp) == (2, 2)
+    # top-down BMP (negative height) reports magnitude
+    bmp_td = bytearray(bmp)
+    bmp_td[22:26] = (-2).to_bytes(4, "little", signed=True)
+    assert multimodal.parse_bmp_header(bytes(bmp_td)) == (2, 2)
+    # hand-built WAV: 8 kHz mono 16-bit, 4 samples -> 8 data bytes, 0 ms
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 36 + 8, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"data", 8)
+        + b"\x00" * 8
+    )
+    assert multimodal.parse_wav_header(wav) == (8000, 0)
+    # roundtrip through the builders
+    assert multimodal.parse_bmp_header(multimodal.build_bmp(61, 13, b"xyz")) == (61, 13)
+    assert multimodal.parse_wav_header(multimodal.build_wav(32000, 549, b"xyz")) == (
+        32000,
+        549 * 1000 // 32000,
+    )
+    with _pytest.raises(ValueError):
+        multimodal.parse_bmp_header(b"PNG....")
+    with _pytest.raises(ValueError):
+        multimodal.parse_wav_header(b"RIFFxxxxAVI ")
 
 
 def test_frame_sample(spark):

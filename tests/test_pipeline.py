@@ -359,6 +359,47 @@ def test_rdfxml_xmlliteral_and_containers(spark, tmp_path):
     assert ("http://example.org/bag", qb.RDF_TYPE, _RDF + "Seq") in rows
 
 
+def test_rdfxml_li_counter_shared_inside_parsetype_resource(spark, tmp_path):
+    """Sibling rdf:li under ONE parseType=Resource node share a counter
+    (_1, _2, ...), same as a node element — not each restarting at _1."""
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
+
+    xml = (
+        _XML_HEAD + '<rdf:Description rdf:about="http://example.org/x">'
+        '<eg:items rdf:parseType="Resource">'
+        '<rdf:li rdf:resource="http://example.org/a"/>'
+        '<rdf:li rdf:resource="http://example.org/b"/>'
+        '<rdf:li rdf:resource="http://example.org/c"/>'
+        "</eg:items></rdf:Description></rdf:RDF>"
+    )
+    p = tmp_path / "res_li.rdf"
+    p.write_text(xml)
+    rows = read_rdf(spark, str(p)).collect()
+    li = sorted((r["pred"], r["obj"]) for r in rows if r["pred"].startswith(_RDF + "_"))
+    assert li == [
+        (_RDF + "_1", "http://example.org/a"),
+        (_RDF + "_2", "http://example.org/b"),
+        (_RDF + "_3", "http://example.org/c"),
+    ]
+
+
+def test_turtle_rejects_n3_only_syntax(spark, tmp_path):
+    """The .n3 dispatch is a Turtle-compatible SUBSET: N3 formulas/rules/
+    quantifiers must fail loudly (Jena parity: reference parses N3 fully,
+    Main.java:30-33; silently emitting garbage triples is the one wrong
+    answer). Unrecognized syntax in general also raises."""
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
+
+    p = tmp_path / "rules.n3"
+    p.write_text("@prefix : <http://x/> .\n{ :a :b :c } => { :d :e :f } .\n")
+    with pytest.raises(ValueError, match="N3-only"):
+        read_rdf(spark, str(p))
+    p2 = tmp_path / "junk.ttl"
+    p2.write_text("@prefix : <http://x/> .\n:a :b %%junk .\n")
+    with pytest.raises(ValueError, match="unsupported Turtle syntax"):
+        read_rdf(spark, str(p2))
+
+
 def test_rdfxml_invalid_parsetype_fails_loudly(spark, tmp_path):
     from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdf
 

@@ -184,9 +184,22 @@ def test_record_stream_stage_folds_lineage_into_manifest(spark, transcript_dir, 
     assert set(entry["micro_batches"]) == {"0", "1"}
     manifest = json.load(open(os.path.join(wd, "_MANIFEST.json")))
     assert manifest["stages"]["kg_edges_streamed"] == entry
-    # a snapshot the lineage doesn't account for must fail loudly
+    # the manifest entry must point at the streamed data so a batch resume
+    # READS it rather than silently rebuilding: run() with a build that
+    # would blow up must return the streamed snapshot untouched
+    from nospa_rdf_data_cube_validator_spark.pipeline import StageRunner
+
+    assert entry["path"] == os.path.abspath(out)
+
+    def boom():
+        raise AssertionError("resume must not rebuild a streamed stage")
+
+    resumed = StageRunner(spark, wd).run("kg_edges_streamed", boom)
+    assert resumed.count() == entry["rows"]
+    # a snapshot the lineage doesn't account for must fail loudly (hard
+    # ValueError: -O strips asserts, a mismatch must still refuse)
     batch.limit(3).select(F.lit("x").alias("subj")).withColumn(
         "batch_id", F.lit(9)
     ).write.mode("append").partitionBy("batch_id").parquet(out)
-    with pytest.raises(AssertionError, match="lineage"):
+    with pytest.raises(ValueError, match="lineage"):
         record_stream_stage(spark, wd, "kg_edges_streamed", out, lin)
