@@ -75,6 +75,37 @@ def bench_cube_validation(spark, sf: float) -> tuple[float, dict]:
     n12 = v.ic12().count()
     validate_sec = time.time() - t1
     v.unpersist()  # release the validator's obs-scale caches before the next bench
+
+    # At-rest validate-many (the 100 TB deployment shape and run_pipeline's
+    # DEFAULT): encode + bucket ONCE (amortized over every later validation
+    # run, so timed separately), then time the same hot path straight off
+    # the table — its HashPartitioning(subj) plans carry no observation-
+    # scale Exchange. Reported in stats only; NOT added to the headline
+    # total, which stays comparable across rounds.
+    from nospa_rdf_data_cube_validator_spark.plans.encoding import encode_store
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import write_bucketed
+
+    t2 = time.time()
+    enc = encode_store(normalized, parts=spark.sparkContext.defaultParallelism)
+    # a previous SESSION's managed-table dir survives the in-memory catalog
+    # (on-disk warehouse): drop both before re-creating, as run_table does
+    spark.sql("DROP TABLE IF EXISTS bench_cube_atrest")
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "bench_cube_atrest"), ignore_errors=True)
+    write_bucketed(enc.df, "bench_cube_atrest", buckets=spark.sparkContext.defaultParallelism)
+    enc.df = spark.table("bench_cube_atrest")
+    encode_sec = time.time() - t2
+    v2 = CubeValidator(enc)
+    t3 = time.time()
+    a11 = v2.ic11().count()
+    a12 = v2.ic12().count()
+    atrest_sec = time.time() - t3
+    v2.unpersist()
+    if (a11, a12) != (n11, n12):  # at-rest path must agree with in-memory
+        raise RuntimeError(f"at-rest IC mismatch: {(a11, a12)} != {(n11, n12)}")
+
     stats = {
         "n_triples": n_triples,
         "n_obs": n_obs,
@@ -84,6 +115,9 @@ def bench_cube_validation(spark, sf: float) -> tuple[float, dict]:
         "validate_sec": round(validate_sec, 3),
         "obs_per_sec": round(n_obs / max(validate_sec, 1e-9)),
         "triples_per_sec": round(n_triples / max(build_sec + validate_sec, 1e-9)),
+        "atrest_encode_bucket_sec": round(encode_sec, 3),
+        "atrest_validate_sec": round(atrest_sec, 3),
+        "atrest_obs_per_sec": round(n_obs / max(atrest_sec, 1e-9)),
     }
     return build_sec + validate_sec, stats
 
