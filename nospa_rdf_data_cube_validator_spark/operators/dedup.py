@@ -13,7 +13,7 @@ array expressions inside whole-stage codegen); Python never touches rows.
 - ngram_jaccard: exact word-shingle Jaccard for candidate pairs.
 - embedding_duplicates: cosine-similarity near-dup over an embedding column.
 
-Scale notes: every self-join is bucketed (band, bucket) so only candidate
+Scale notes: every candidate-pair stage is bucketed (band, bucket) so only candidate
 pairs shuffle; hot buckets (boilerplate shingles) are capped with
 ``max_bucket`` to bound quadratic blowup — the standard web-dedup guard.
 """
@@ -100,40 +100,45 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs (a < b).
 
-    One explode (bands x docs rows) + one self-join keyed (band, bucket).
-    ``max_bucket`` drops degenerate buckets (e.g. empty-text docs) that would
-    otherwise go quadratic — the standard web-dedup hot-bucket guard. The
-    drop is silent by design (a capped bucket means "too common to be a
-    useful signature"); callers needing the count can reuse the same
-    groupBy: ``banded.groupBy("band","bucket").count().where(col("count") >
-    max_bucket)``. The band slice width is derived from the signature array
-    length inside the SQL expression below."""
+    One explode (bands x docs rows), a count pre-filter, then pairs are
+    generated INSIDE each surviving bucket (collect_list + double explode)
+    — no self-join. ``max_bucket`` drops degenerate buckets (e.g.
+    empty-text docs) that would otherwise go quadratic — the standard
+    web-dedup hot-bucket guard. The drop is silent by design (a capped
+    bucket means "too common to be a useful signature"); callers needing
+    the count can reuse the ``counts`` groupBy below.
+
+    Shuffle budget (the r4 rewrite): counts agg + one banded repartition
+    (the semi-join; the following collect_list groupBy REUSES its
+    (band, bucket) partitioning, no new Exchange) + the final distinct —
+    the previous self-join form paid two unshared banded shuffles (no
+    ReusedExchange, measured) plus the counts and distinct. The cap check
+    stays BEFORE collect_list on purpose: filtering after collection
+    would materialize the degenerate bucket's full id list in one
+    aggregation state — the OOM the cap exists to prevent. Bucket ids
+    hash the band slice directly (xxhash64 hashes arrays structurally;
+    the old to_json detour serialized every slice first)."""
     banded = signatures.select(
         "id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
-                " b -> struct(b as band, xxhash64(to_json(struct(slice(sig, b * int(size(sig) / "
-                f"{bands}) + 1, int(size(sig) / {bands}))))) as bucket))"
+                " b -> struct(b as band, xxhash64(slice(sig, b * int(size(sig) / "
+                f"{bands}) + 1, int(size(sig) / {bands}))) as bucket))"
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    banded = banded.join(
-        counts.where(F.col("n") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
-        "left_semi",
+    keep = counts.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("band", "bucket")
+    buckets = (
+        banded.join(keep, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        buckets.select(F.explode("ids").alias("src"), "ids")
+        .select("src", F.explode("ids").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
         .distinct()
     )
 
@@ -236,9 +241,9 @@ def simhash_duplicates(
     exact Hamming verify. Returns (src, dst, hamming) pairs, src < dst.
 
     ``max_bucket`` caps each (chunk, val) bucket — the same hot-bucket guard
-    as the MinHash LSH join: a 16-bit chunk has only 65,536 values, so at
+    as the MinHash LSH: a 16-bit chunk has only 65,536 values, so at
     web scale one popular chunk value (boilerplate-dominated docs) would
-    otherwise hold millions of ids and the self-join would go quadratic.
+    otherwise hold millions of ids and pair generation would go quadratic.
     Docs whose every chunk is capped simply produce no candidates (they are
     "too common to distinguish" — the standard recall/cost trade)."""
     sigs = simhash_signatures(docs, text_col, id_col).persist()
@@ -252,20 +257,22 @@ def simhash_duplicates(
             )
         ).alias("cv"),
     ).select("id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    # Same bucket-grouped pair generation as lsh_candidate_pairs (r4): the
+    # count pre-filter runs BEFORE collect_list (capped buckets never
+    # materialize an aggregation state), and the collect_list groupBy
+    # reuses the semi-join's (chunk, val) partitioning — one banded
+    # shuffle instead of the self-join's two unshared ones.
     counts = chunked.groupBy("chunk", "val").agg(F.count("*").alias("n"))
-    chunked = chunked.join(
-        counts.where(F.col("n") <= max_bucket).select("chunk", "val"),
-        ["chunk", "val"],
-        "left_semi",
+    keep = counts.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("chunk", "val")
+    buckets = (
+        chunked.join(keep, ["chunk", "val"], "left_semi")
+        .groupBy("chunk", "val")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("xs"))
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("src"),
             F.col("b.id").alias("dst"),
@@ -384,26 +391,24 @@ def embedding_duplicates(
     LSH: candidates collide in ANY of ``n_bands`` buckets (recall ~0.96 at
     the default 0.95 threshold — see hyperplane_buckets), then an exact
     per-candidate cosine verify. Per-band buckets are capped at
-    ``max_bucket`` (hot-bucket guard), so the self-join is bounded per key
+    ``max_bucket`` (hot-bucket guard), so per-bucket pair generation is bounded
     and the whole plan stays sub-quadratic at corpus scale."""
     banded = hyperplane_buckets(
         embeddings, vec_col, id_col, n_bands=n_bands, planes_per_band=planes_per_band
     )
+    # bucket-grouped pair generation (see lsh_candidate_pairs): pre-filter
+    # before collect_list, partitioning reused, no self-join.
     counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    banded = banded.join(
-        counts.where(F.col("n") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
-        "left_semi",
+    keep = counts.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("band", "bucket")
+    buckets = (
+        banded.join(keep, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
     )
-    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        buckets.select(F.explode("ids").alias("src"), "ids")
+        .select("src", F.explode("ids").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
         .distinct()
     )
     v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
