@@ -19,6 +19,7 @@ nonsparql/NospaValidator.java:41-48); S2 serializes the model back
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
@@ -575,6 +576,122 @@ def write_bucketed(
         .sortBy("subj", "pred")
         .saveAsTable(table)
     )
+
+
+_NCNAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _xml_escape(col: F.Column) -> F.Column:
+    """XML-escape a string column for element text / attribute values
+    (& first, then < > \"). CR becomes &#13;: XML line-end normalization
+    would silently turn a raw \\r into \\n on re-read, but character
+    references survive it (the same reason Jena's writer emits &#xD;).
+    In attribute values \\n and \\t would also be normalized to spaces —
+    reference them too (harmless in element text)."""
+    col = F.regexp_replace(col, "&", "&amp;")
+    col = F.regexp_replace(col, "<", "&lt;")
+    col = F.regexp_replace(col, ">", "&gt;")
+    col = F.regexp_replace(col, '"', "&quot;")
+    col = F.regexp_replace(col, "\r", "&#13;")
+    col = F.regexp_replace(col, "\n", "&#10;")
+    return F.regexp_replace(col, "\t", "&#9;")
+
+
+def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """RDF/XML export — completes S2 parity (exportModel serializes to any
+    Jena format incl. its DEFAULT RDF/XML, nonsparql/NospaValidator.java:
+    56-67). Distributed like the Turtle sink: every part file is a
+    self-contained document (header + one rdf:Description per triple +
+    footer).
+
+    Property elements need QNames, so each predicate splits at its last
+    '#' or '/' into (namespace, NCName-local); the distinct-predicate set
+    is collected on the DRIVER to build the xmlns table — predicates are
+    vocabulary-scale (bounded even at 100 TB observations; Jena's writer
+    keeps the same in-memory namespace table). A predicate with no valid
+    NCName split FAILS LOUDLY (ValueError), matching Jena's
+    "cannot split URI" error rather than emitting invalid XML."""
+    preds = [r["p"] for r in triples.select(F.col("pred").alias("p")).distinct().collect()]
+    ns_map: dict[str, str] = {_RDF_NS: "rdf"}
+    qname: dict[str, str] = {}
+    for p in sorted(preds):
+        cut = max(p.rfind("#"), p.rfind("/")) + 1
+        ns, local = p[:cut], p[cut:]
+        if not ns or not _NCNAME_RE.match(local):
+            raise ValueError(
+                f"cannot split predicate {p!r} into namespace + NCName for RDF/XML "
+                "(Jena parity: the reference's writer fails on such URIs too)"
+            )
+        if ns not in ns_map:
+            ns_map[ns] = f"ns{len(ns_map)}"
+        qname[p] = f"{ns_map[ns]}:{local}"
+    spark = triples.sparkSession
+    qn = F.broadcast(
+        spark.createDataFrame([(p, q) for p, q in qname.items()], "pred string, qn string")
+    )
+
+    subj_attr = F.when(
+        F.col("subj").startswith("_:"),
+        F.concat(F.lit('rdf:nodeID="'), _xml_escape(F.expr("substring(subj, 3)")), F.lit('"')),
+    ).otherwise(F.concat(F.lit('rdf:about="'), _xml_escape(F.col("subj")), F.lit('"')))
+    lex = _xml_escape(
+        F.expr(
+            "substring(obj, length(concat('literal:', coalesce(obj_datatype,''), ':',"
+            " coalesce(obj_lang,''), ':')) + 1)"
+        )
+    )
+    prop_el = (
+        F.when(
+            terms.is_iri(),
+            F.concat(F.lit("<"), F.col("qn"), F.lit(' rdf:resource="'), _xml_escape(F.col("obj")), F.lit('"/>')),
+        )
+        .when(
+            terms.is_bnode(),
+            F.concat(F.lit("<"), F.col("qn"), F.lit(' rdf:nodeID="'), _xml_escape(F.expr("substring(obj, 3)")), F.lit('"/>')),
+        )
+        .when(
+            F.col("obj_lang").isNotNull(),
+            F.concat(F.lit("<"), F.col("qn"), F.lit(' xml:lang="'), F.col("obj_lang"), F.lit('">'), lex, F.lit("</"), F.col("qn"), F.lit(">")),
+        )
+        .when(
+            F.col("obj_datatype").isNotNull(),
+            F.concat(F.lit("<"), F.col("qn"), F.lit(' rdf:datatype="'), _xml_escape(F.col("obj_datatype")), F.lit('">'), lex, F.lit("</"), F.col("qn"), F.lit(">")),
+        )
+        .otherwise(F.concat(F.lit("<"), F.col("qn"), F.lit(">"), lex, F.lit("</"), F.col("qn"), F.lit(">")))
+    )
+    line = F.concat(
+        F.lit("<rdf:Description "), subj_attr, F.lit(">"), prop_el, F.lit("</rdf:Description>")
+    )
+    rendered = triples.join(qn, "pred").select(line.alias("value"))
+    xmlns = " ".join(f'xmlns:{pfx}="{ns}"' for ns, pfx in sorted(ns_map.items(), key=lambda kv: kv[1]))
+    header = ['<?xml version="1.0" encoding="utf-8"?>', f"<rdf:RDF {xmlns}>"]
+    footer = "</rdf:RDF>"
+
+    def with_frame(it):
+        for h in header:
+            yield (h,)
+        for row in it:
+            yield (row["value"],)
+        yield (footer,)
+
+    # per-partition header/footer needs imperative partition access (same
+    # justified RDD hop as the Turtle sink)
+    out = spark.createDataFrame(rendered.rdd.mapPartitions(with_frame), "value string")
+    out.write.mode(mode).text(path)
+
+
+def read_rdfxml_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Read a write_rdfxml output directory (one document per part file)
+    back into a triples DataFrame — the roundtrip twin used by tests."""
+    import glob as _glob
+
+    rows: list[tuple] = []
+    parser = None
+    for f in sorted(_glob.glob(os.path.join(path, "part-*"))):
+        with open(f, encoding="utf-8") as fh:
+            parser = _RdfXmlParser()
+            rows.extend(parser.parse(fh.read()))
+    return terms.triples_df(spark, rows)
 
 
 def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -383,6 +383,46 @@ def test_rdfxml_li_counter_shared_inside_parsetype_resource(spark, tmp_path):
     ]
 
 
+def test_rdfxml_writer_roundtrip(spark, tmp_path):
+    """S2 parity: exportModel's DEFAULT Jena serialization is RDF/XML. The
+    distributed writer must roundtrip through our own reader exactly —
+    the reference fixture plus the nasty cases (XML entities in IRIs and
+    lexical forms, CR/LF/TAB control chars via character references that
+    survive XML line-end normalization, lang tags, bnode subjects and
+    objects). Unsplittable predicates fail loudly (Jena parity)."""
+    from nospa_rdf_data_cube_validator_spark import terms as _t
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import (
+        read_rdfxml_dir,
+        read_turtle,
+        write_rdfxml,
+    )
+
+    t = read_turtle(spark, "/root/reference/test.ttl")
+    out = str(tmp_path / "xml_rt")
+    write_rdfxml(t, out)
+    rt = read_rdfxml_dir(spark, out)
+    assert t.join(rt, ["subj", "pred", "obj"], "left_anti").count() == 0
+    assert rt.join(t, ["subj", "pred", "obj"], "left_anti").count() == 0
+    assert rt.count() == 206
+
+    rows = [
+        _t.lit_row("http://x/s", "http://x/ns#p", 'a<&>"\r\n\tz', qb.PREFIX_XSD + "string"),
+        _t.lit_row("http://x/s", "http://x/ns#q", "bonjour", "", "fr"),
+        _t.bnode_row("_:b1", "http://x/ns#r", "_:b2"),
+        _t.iri_row("http://x/s", "http://x/ns#r", "http://y/o?a=1&b=<2>"),
+    ]
+    df = _t.triples_df(spark, rows)
+    out2 = str(tmp_path / "xml_rt2")
+    write_rdfxml(df, out2)
+    rt2 = read_rdfxml_dir(spark, out2)
+    assert df.join(rt2, ["subj", "pred", "obj"], "left_anti").count() == 0
+    assert rt2.join(df, ["subj", "pred", "obj"], "left_anti").count() == 0
+
+    bad = _t.triples_df(spark, [_t.iri_row("http://x/s", "http://x/123", "http://y/o")])
+    with pytest.raises(ValueError, match="cannot split predicate"):
+        write_rdfxml(bad, str(tmp_path / "xml_rt3"))
+
+
 def test_turtle_rejects_n3_only_syntax(spark, tmp_path):
     """The .n3 dispatch is a Turtle-compatible SUBSET: N3 formulas/rules/
     quantifiers must fail loudly (Jena parity: reference parses N3 fully,
