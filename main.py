@@ -3,6 +3,7 @@
 Usage:
   spark-submit --py-files engine.zip main.py validate <cube.{ttl,nt,parquet}> [--report DIR]
   spark-submit --py-files engine.zip main.py pipeline <transcripts.parquet> <workdir> [--report DIR]
+  spark-submit --py-files engine.zip main.py export <cube.{ttl,nt,xml,parquet}> <out> [--format nt|ttl|xml|parquet] [--normalize]
 
 ``validate`` mirrors the reference CLI (Main.java:21-58): load an RDF cube,
 normalize, run all 21 integrity constraints, write validation_result_<ts>.md.
@@ -81,6 +82,31 @@ def cmd_pipeline(spark, args) -> int:
     return 0
 
 
+def cmd_export(spark, args) -> int:
+    """exportModel parity (nonsparql/NospaValidator.java:56-67): read any
+    supported RDF form, optionally normalize, re-serialize to the requested
+    format."""
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import (
+        write_ntriples,
+        write_parquet,
+        write_rdfxml,
+        write_turtle,
+    )
+
+    store = TripleStore(read_rdf(spark, args.input))
+    if args.normalize:
+        store = normalize(store)
+    writer = {
+        "nt": write_ntriples,
+        "ttl": write_turtle,
+        "xml": write_rdfxml,
+        "parquet": write_parquet,
+    }[args.format]
+    writer(store.df, args.output)
+    print(f"exported {store.df.count()} triples to {args.output} as {args.format}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(prog="nospa-cube-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -113,9 +139,20 @@ def main() -> int:
         " validate off it — no observation-scale shuffle in the IC plans"
         " (default on; --no-bucketed for a localCheckpoint instead)",
     )
+    e = sub.add_parser(
+        "export", help="re-serialize an RDF cube (exportModel parity, any format)"
+    )
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--format", choices=("nt", "ttl", "xml", "parquet"), default="nt")
+    e.add_argument(
+        "--normalize", action="store_true", help="apply N1-N5 before exporting"
+    )
     args = ap.parse_args()
     spark = get_spark(app_name=f"nospa-{args.cmd}")
-    return {"validate": cmd_validate, "pipeline": cmd_pipeline}[args.cmd](spark, args)
+    return {"validate": cmd_validate, "pipeline": cmd_pipeline, "export": cmd_export}[
+        args.cmd
+    ](spark, args)
 
 
 if __name__ == "__main__":
