@@ -530,6 +530,89 @@ def test_ntriples_roundtrip_property(spark, tmp_path):
     run()
 
 
+def test_rdfxml_roundtrip_property(spark, tmp_path):
+    """Property test: arbitrary unicode literals (entities, control chars,
+    RTL, emoji), lang tags, datatypes, bnode objects — the RDF/XML
+    write->read roundtrip is exact for all of them (character references
+    must survive XML line-end + attribute-value normalization)."""
+    from hypothesis import given, settings, strategies as st
+
+    from nospa_rdf_data_cube_validator_spark import terms
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import (
+        read_rdfxml_dir,
+        write_rdfxml,
+    )
+
+    lex = st.text(
+        alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+        max_size=40,
+    )
+    kinds = st.sampled_from(["plain", "lang", "typed", "iri", "bnode"])
+    rows_strategy = st.lists(st.tuples(kinds, lex), min_size=1, max_size=20)
+
+    counter = {"n": 0}
+
+    @settings(max_examples=5, deadline=None)
+    @given(rows_strategy)
+    def run(batch):
+        counter["n"] += 1
+        rows = []
+        for i, (kind, lx) in enumerate(batch):
+            s, p = f"http://x/s{i}", "http://x/ns#p"
+            if kind == "plain":
+                rows.append(terms.lit_row(s, p, lx))
+            elif kind == "lang":
+                rows.append(terms.lit_row(s, p, lx, "", "en"))
+            elif kind == "typed":
+                rows.append(terms.lit_row(s, p, lx, qb.PREFIX_XSD + "string"))
+            elif kind == "iri":
+                rows.append(terms.iri_row(s, p, f"http://y/o{i}"))
+            else:
+                rows.append(terms.bnode_row(s, p, f"_:b{i}"))
+        df = terms.triples_df(spark, rows)
+        path = str(tmp_path / f"prop_xml_{counter['n']}")
+        write_rdfxml(df, path)
+        back = read_rdfxml_dir(spark, path)
+        k = ["subj", "pred", "obj"]
+        assert back.count() == df.count()
+        assert df.join(back, k, "left_anti").count() == 0
+        assert back.join(df, k, "left_anti").count() == 0
+
+    run()
+
+
+def test_bmp_wav_roundtrip_property():
+    """Property test (pure Python, no Spark): every (width, height, fill)
+    builds a BMP whose header parses back exactly; every (rate, samples)
+    builds a WAV whose rate/duration parse back exactly — including the
+    floor-division duration edge cases."""
+    from hypothesis import given, settings, strategies as st
+
+    from nospa_rdf_data_cube_validator_spark.operators import multimodal as mm
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=2000),
+        st.integers(min_value=1, max_value=64),
+        st.binary(max_size=32),
+    )
+    def run_bmp(w, h, fill):
+        assert mm.parse_bmp_header(mm.build_bmp(w, h, fill)) == (w, h)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=192000),
+        st.integers(min_value=0, max_value=100000),
+        st.binary(max_size=32),
+    )
+    def run_wav(rate, n, fill):
+        sr, dur = mm.parse_wav_header(mm.build_wav(rate, n, fill))
+        assert sr == rate and dur == (2 * n * 1000) // (2 * rate)
+
+    run_bmp()
+    run_wav()
+
+
 def test_turtle_roundtrip_property(spark, tmp_path):
     """Property test: arbitrary local-name suffixes (incl. ones that are NOT
     safe PN local names — trailing dots, leading digits, '%', '/') and
