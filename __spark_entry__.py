@@ -346,10 +346,12 @@ def q_multimodal(spark, sf_dir):
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Frame-sampling explode shape over the 'video' docs (byte-offset frame
-    stand-ins; the decode itself stays a documented stub)."""
+    """REAL frame index over the 'video' docs: the kernel walks each AVI's
+    movi chunk list and emits (frame_idx, byte_offset, n_bytes) seek rows;
+    the oracle recomputes the RIFF layout arithmetic. Only frame PIXEL
+    decode stays stubbed (no codecs here)."""
     media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
-    return multimodal.frame_sample(media, every_n_bytes=64)
+    return multimodal.frame_sample(media)
 
 
 # --- events ------------------------------------------------------------------
@@ -1408,29 +1410,37 @@ linked AS (
             FROM documents
         """,
         # real container arithmetic: BMP file = 54-byte header + 4-aligned
-        # rows; WAV = 44-byte header + 2 bytes/sample mono PCM. The engine
-        # READS these from the payload bytes; the oracle recomputes them
-        # from the same (doc_id, text-length) parameters the builder used.
+        # rows; WAV = 44-byte header + 2 bytes/sample mono PCM; AVI =
+        # 100-byte fixed header structure + 24 bytes per frame chunk
+        # (8-byte chunk header + 16 frame bytes), 25 fps. The engine READS
+        # these from the payload bytes; the oracle recomputes them from
+        # the same (doc_id, text-length) parameters the builder used.
         "multimodal": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(CASE CAST(doc_id % 3 AS INT)
                         WHEN 0 THEN 54 + (((doc_id % 61 + 1) * 3 + 3) // 4) * 4 * (doc_id % 13 + 1)
                         WHEN 1 THEN 44 + 2 * (octet_length(encode(text)) % 500 + 50)
-                        ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
-                   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 61 + 1 END AS INT) AS width,
-                   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 13 + 1 END AS INT) AS height,
+                        ELSE 100 + 24 * (octet_length(encode(text)) % 48 + 2) END AS INT) AS n_bytes,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 61 + 1
+                             WHEN doc_id % 3 = 2 THEN doc_id % 320 + 16 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 13 + 1
+                             WHEN doc_id % 3 = 2 THEN doc_id % 240 + 16 END AS INT) AS height,
                    CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 * (doc_id % 4 + 1) END AS INT) AS sample_rate,
                    CAST(CASE WHEN doc_id % 3 = 1
                              THEN ((octet_length(encode(text)) % 500 + 50) * 1000) // (8000 * (doc_id % 4 + 1))
+                             WHEN doc_id % 3 = 2
+                             THEN (octet_length(encode(text)) % 48 + 2) * 40
                         END AS INT) AS duration_ms
             FROM documents
         """,
         "multimodal_frames": """
-            SELECT CAST(doc_id AS BIGINT) AS media_id, frame_idx
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(100 + 24 * frame_idx + 8 AS INT) AS byte_offset,
+                   CAST(16 AS INT) AS n_bytes
             FROM documents,
-                 LATERAL unnest(range(0, greatest(octet_length(encode(text)) // 64 - 1, 0) + 1))
-                   AS t(frame_idx)
+                 LATERAL unnest(range(0, octet_length(encode(text)) % 48 + 2)) AS t(frame_idx)
             WHERE doc_id % 3 = 2
         """,
         "cube_ic1": LI_CTE

@@ -194,9 +194,11 @@ def test_multimodal_features(spark):
         154,
     )
     assert feats[1]["width"] is None and feats[1]["height"] is None
-    # doc 2 -> opaque video bytes
-    assert feats[2]["kind"] == "video" and feats[2]["n_bytes"] == 2
-    assert feats[2]["width"] is None and feats[2]["sample_rate"] is None
+    # doc 2 -> AVI: 18x18, 4 frames (len 'ij'=2 -> 2%48+2), 25fps
+    assert feats[2]["kind"] == "video"
+    assert (feats[2]["width"], feats[2]["height"]) == (18, 18)
+    assert feats[2]["n_bytes"] == 100 + 24 * 4 and feats[2]["duration_ms"] == 160
+    assert feats[2]["sample_rate"] is None
     # checksum is the md5 of the ACTUAL container bytes
     assert feats[0]["checksum"] == hashlib.md5(multimodal.build_bmp(1, 1, b"abc")).hexdigest()
     assert (
@@ -235,17 +237,30 @@ def test_bmp_wav_parsers_golden():
         32000,
         549 * 1000 // 32000,
     )
+    avi = multimodal.build_avi(320, 240, 7, b"xyz")
+    assert len(avi) == 100 + 24 * 7
+    assert multimodal.parse_avi_header(avi) == (320, 240, 7, 7 * 40)
+    assert multimodal.parse_avi_frames(avi) == [(i, 108 + 24 * i, 16) for i in range(7)]
     with _pytest.raises(ValueError):
         multimodal.parse_bmp_header(b"PNG....")
     with _pytest.raises(ValueError):
         multimodal.parse_wav_header(b"RIFFxxxxAVI ")
+    with _pytest.raises(ValueError):
+        multimodal.parse_avi_header(b"RIFFxxxxWAVE")
 
 
 def test_frame_sample(spark):
+    """Real AVI frame index: offsets/sizes must match the movi layout
+    (first chunk at byte 100, 24-byte stride, 16 data bytes each)."""
     docs = spark.createDataFrame([(2, "x" * 200)], "doc_id long, text string")
-    media = multimodal.docs_as_media(docs)  # doc 2 -> video
-    frames = multimodal.frame_sample(media, every_n_bytes=64).collect()
-    assert len(frames) == 3  # 200 // 64 = 3 sampled frames (idx 0..2)
+    media = multimodal.docs_as_media(docs)  # doc 2 -> video, 200%48+2 = 10 frames
+    frames = sorted(
+        (r["frame_idx"], r["byte_offset"], r["n_bytes"])
+        for r in multimodal.frame_sample(media).collect()
+    )
+    assert frames == [(i, 108 + 24 * i, 16) for i in range(10)]
+    sampled = multimodal.frame_sample(media, every_n=3).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 3, 6, 9]
 
 
 def test_embedding_duplicates_recall(spark):

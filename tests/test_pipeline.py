@@ -609,8 +609,22 @@ def test_bmp_wav_roundtrip_property():
         sr, dur = mm.parse_wav_header(mm.build_wav(rate, n, fill))
         assert sr == rate and dur == (2 * n * 1000) // (2 * rate)
 
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=4096),
+        st.integers(min_value=1, max_value=4096),
+        st.integers(min_value=0, max_value=200),
+        st.binary(max_size=32),
+    )
+    def run_avi(w, h, n, fill):
+        avi = mm.build_avi(w, h, n, fill)
+        assert len(avi) == 100 + 24 * n
+        assert mm.parse_avi_header(avi) == (w, h, n, n * 40)
+        assert mm.parse_avi_frames(avi) == [(i, 108 + 24 * i, 16) for i in range(n)]
+
     run_bmp()
     run_wav()
+    run_avi()
 
 
 def test_turtle_roundtrip_property(spark, tmp_path):
