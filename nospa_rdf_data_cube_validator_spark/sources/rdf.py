@@ -662,6 +662,25 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     line = F.concat(
         F.lit("<rdf:Description "), subj_attr, F.lit(">"), prop_el, F.lit("</rdf:Description>")
     )
+    # XML 1.0 cannot express C0 controls (other than TAB/LF/CR) or
+    # U+FFFE/U+FFFF AT ALL — not even as character references. Emitting
+    # them silently would produce a document no parser accepts; fail
+    # loudly instead (N-Triples escapes such data losslessly). The guard
+    # rides inside the render expression (raise_error on first offending
+    # row) — no extra validation scan over the data.
+    illegal = "[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]"
+    line = F.when(
+        F.concat_ws("", F.col("subj"), F.col("obj")).rlike(illegal),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "XML 1.0 cannot represent C0 control characters; "
+                    "export this graph as N-Triples instead. Offending subject: "
+                ),
+                F.col("subj"),
+            )
+        ),
+    ).otherwise(line)
     rendered = triples.join(qn, "pred").select(line.alias("value"))
     xmlns = " ".join(f'xmlns:{pfx}="{ns}"' for ns, pfx in sorted(ns_map.items(), key=lambda kv: kv[1]))
     header = ['<?xml version="1.0" encoding="utf-8"?>', f"<rdf:RDF {xmlns}>"]

@@ -422,6 +422,13 @@ def test_rdfxml_writer_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="cannot split predicate"):
         write_rdfxml(bad, str(tmp_path / "xml_rt3"))
 
+    # XML 1.0 cannot represent C0 controls AT ALL (no character reference
+    # exists) — the writer must refuse rather than emit an unparseable
+    # document (hypothesis found this; N-Triples is the lossless path)
+    ctrl = _t.triples_df(spark, [_t.lit_row("http://x/s", "http://x/ns#p", "bad\x1fchar")])
+    with pytest.raises(Exception, match="C0 control"):
+        write_rdfxml(ctrl, str(tmp_path / "xml_rt4"))
+
 
 def test_turtle_rejects_n3_only_syntax(spark, tmp_path):
     """The .n3 dispatch is a Turtle-compatible SUBSET: N3 formulas/rules/
@@ -531,10 +538,13 @@ def test_ntriples_roundtrip_property(spark, tmp_path):
 
 
 def test_rdfxml_roundtrip_property(spark, tmp_path):
-    """Property test: arbitrary unicode literals (entities, control chars,
-    RTL, emoji), lang tags, datatypes, bnode objects — the RDF/XML
-    write->read roundtrip is exact for all of them (character references
-    must survive XML line-end + attribute-value normalization)."""
+    """Property test: arbitrary XML-representable unicode literals
+    (entities, TAB/LF/CR, RTL, emoji), lang tags, datatypes, bnode objects
+    — the RDF/XML write->read roundtrip is exact for all of them
+    (character references must survive XML line-end + attribute-value
+    normalization). Characters XML 1.0 CANNOT represent (C0 controls
+    other than TAB/LF/CR — found by this very test) are excluded here and
+    pinned as fail-loud below."""
     from hypothesis import given, settings, strategies as st
 
     from nospa_rdf_data_cube_validator_spark import terms
@@ -543,8 +553,11 @@ def test_rdfxml_roundtrip_property(spark, tmp_path):
         write_rdfxml,
     )
 
+    xml_illegal = "".join(
+        chr(c) for c in range(0x20) if c not in (0x9, 0xA, 0xD)
+    ) + "￾￿"
     lex = st.text(
-        alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+        alphabet=st.characters(blacklist_characters=xml_illegal, blacklist_categories=("Cs",)),
         max_size=40,
     )
     kinds = st.sampled_from(["plain", "lang", "typed", "iri", "bnode"])
