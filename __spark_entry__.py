@@ -1002,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — r04 rotates enc_cube_ic1/11/12 (the DEFAULT
     # encoded+bucketed engine since 4cd5b09/c96475d), ann_ivf (new int64
     # oracle, acd3119), and bucketed_cube_ic12 (at-rest StageRunner path) IN.
+    # r05: ann_ivf's oracle changed again (CAST SUM AS BIGINT, closing the
+    # r04 HUGEINT-hash finding) so it stays in-window at position 6.
     # UNGATED tail, explicitly: anti_join/semi_join/set_except/window_top1/
     # count_distinct (generic TPC-ish shapes whose join/window/agg families
     # are re-exercised by the in-window cube_ic* plans — cube_ic4/7 anti,
@@ -1389,7 +1391,10 @@ linked AS (
               )
             ),
             scored AS (
-              SELECT ql.q_id, lv.vec_id, SUM((lv.v - ql.qval) * (lv.v - ql.qval)) AS dist
+              -- CAST: DuckDB SUM(int) -> HUGEINT which the driver hashes as
+              -- float64; Spark produces int64 (r04 finding, same class as the
+              -- r03 sessionize fix). Values are identical (0/50 diffs).
+              SELECT ql.q_id, lv.vec_id, CAST(SUM((lv.v - ql.qval) * (lv.v - ql.qval)) AS BIGINT) AS dist
               FROM long_v lv
               JOIN assign a USING (vec_id)
               JOIN probes p ON p.cell = a.cell
