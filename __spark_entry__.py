@@ -907,9 +907,17 @@ def q_bucketed_cube_ic12(spark, sf_dir):
     from nospa_rdf_data_cube_validator_spark.pipeline import StageRunner
     from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
 
-    # stable per-(sf_dir) workdir: rebuilt cold, resumed warm within a
-    # session — both paths produce the identical deterministic cube
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # workdir keyed by (sf_dir, source-data fingerprint, pid): the
+    # fingerprint invalidates the cache when testdata is regenerated (a
+    # stale cube would spuriously fail the gate), and the pid keeps
+    # concurrent driver processes from racing on a shared
+    # DROP TABLE/rmtree/write of the same warehouse path. Warm resume
+    # still works within a driver process (the gate's repeat runs).
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|{os.getpid()}".encode()
+    ).hexdigest()[:12]
     workdir = os.path.join(tempfile.gettempdir(), f"nospa_gate_atrest_{key}")
     runner = StageRunner(spark, workdir)
     cube = runner.run_table(

@@ -254,19 +254,30 @@ class StageRunner:
         every per-observation plan without an observation-scale Exchange —
         the 100 TB validate-many at-rest form.
 
-        Resume caveat (documented): bucketing metadata lives in the session
-        catalog; with the sandbox's in-memory catalog a NEW session sees the
-        manifest entry but not the table and rebuilds it from the (parquet,
-        fully resumable) upstream snapshots. Same-session re-runs hit the
-        catalog and return instantly. A real deployment's Hive/Iceberg
-        catalog makes the table durable across sessions."""
+        Cross-session resume: bucketing metadata lives in the session
+        catalog, which the sandbox keeps in memory — so the manifest entry
+        records the table's warehouse ``location`` + bucket spec, and a NEW
+        session that finds the files but not the catalog entry re-registers
+        an external bucketed table over them (``CREATE TABLE ... CLUSTERED
+        BY ... LOCATION``) instead of rebuilding. Spark recovers each
+        file's bucket id from the ``_000NN`` part-file suffix saveAsTable
+        wrote, so the re-registered table keeps HashPartitioning(subj) and
+        the shuffle-free validate plans. A real deployment's Hive/Iceberg
+        catalog makes even the metadata durable; this path is the
+        file-system-truth equivalent."""
         import hashlib
         import shutil
 
         tbl = f"{stage}_{hashlib.md5(self.workdir.encode()).hexdigest()[:8]}"
         info = self.manifest["stages"].get(stage)
-        if info and info.get("done") and self.spark.catalog.tableExists(tbl):
-            return self.spark.table(tbl)
+        if info and info.get("done"):
+            if self.spark.catalog.tableExists(tbl):
+                return self.spark.table(tbl)
+            loc = info.get("location")
+            if loc and os.path.isdir(loc):
+                out = self._register_bucketed(tbl, loc, info)
+                if out is not None:
+                    return out
         t0 = time.time()
         df = build()
         from .sources.rdf import write_bucketed
@@ -282,11 +293,35 @@ class StageRunner:
         self.manifest["stages"][stage] = {
             "done": True,
             "table": tbl,
+            "location": os.path.join(warehouse, tbl),
+            "buckets": buckets,
+            "bucket_cols": ["subj"],
+            "sort_cols": ["subj", "pred"],
             "rows": out.count(),
             "seconds": round(time.time() - t0, 3),
         }
         self._save()
         return out
+
+    def _register_bucketed(self, tbl: str, loc: str, info: dict) -> DataFrame | None:
+        """Re-create the catalog entry for an at-rest bucketed table whose
+        files survived a session restart. Returns None (caller rebuilds) if
+        the files are unreadable or the DDL is rejected — never raises, so
+        a corrupted warehouse degrades to an honest rebuild."""
+        try:
+            schema = self.spark.read.parquet(loc).schema
+            ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+            bcols = ", ".join(f"`{c}`" for c in info.get("bucket_cols", ["subj"]))
+            scols = ", ".join(f"`{c}`" for c in info.get("sort_cols", ["subj", "pred"]))
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({bcols}) SORTED BY ({scols}) "
+                f"INTO {info.get('buckets', 32)} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+            return self.spark.table(tbl)
+        except Exception:  # noqa: BLE001 — degrade to rebuild
+            return None
 
 
 def run_pipeline(

@@ -767,3 +767,58 @@ def test_stage_runner_versioned_snapshots_time_travel(spark, tmp_path):
     assert out3.count() == 1
     assert runner.manifest["stages"]["nums"]["version"] == 3
     assert runner.read_snapshot("nums", version=2).count() == 3
+
+
+def test_run_table_survives_new_session(tmp_path):
+    """The at-rest bucketed table must survive a session restart: process 1
+    builds it via run_table, process 2 (a genuinely fresh JVM + in-memory
+    catalog) calls run_table with a build fn that RAISES — so success
+    proves it re-registered the table from the warehouse files instead of
+    rebuilding — and checks the re-registered table still feeds the
+    (subj, pred) aggregation without an Exchange. This is the
+    validate-many half of the 100 TB story: parse/encode once, validate
+    from the bucketed at-rest layout on every subsequent run (reference
+    contrast: nonsparql/NospaValidator.java:41-48 re-parses per run)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wd = str(tmp_path / "wd")
+    warehouse = str(tmp_path / "warehouse")
+    common = textwrap.dedent(
+        f"""
+        import sys; sys.path.insert(0, {repo!r})
+        from nospa_rdf_data_cube_validator_spark.session import get_spark
+        from nospa_rdf_data_cube_validator_spark.pipeline import StageRunner
+        spark = get_spark(master="local[2]", shuffle_partitions=2,
+                          extra_conf={{"spark.sql.warehouse.dir": {warehouse!r}}})
+        runner = StageRunner(spark, {wd!r})
+        """
+    )
+    build = common + textwrap.dedent(
+        """
+        from nospa_rdf_data_cube_validator_spark.sources.rdf import read_turtle
+        out = runner.run_table(
+            "cube", lambda: read_turtle(spark, "/root/reference/test.ttl"), buckets=4)
+        print("ROWS", out.count())
+        """
+    )
+    r1 = subprocess.run([sys.executable, "-c", build], capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    rows1 = [ln for ln in r1.stdout.splitlines() if ln.startswith("ROWS")][0]
+
+    resume = common + textwrap.dedent(
+        """
+        def must_not_build():
+            raise AssertionError("run_table rebuilt instead of re-registering")
+        out = runner.run_table("cube", must_not_build, buckets=4)
+        print("ROWS", out.count())
+        plan = out.groupBy("subj", "pred").count()._jdf.queryExecution().executedPlan().toString()
+        print("NOEXCHANGE", "Exchange" not in plan)
+        """
+    )
+    r2 = subprocess.run([sys.executable, "-c", resume], capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert rows1 in r2.stdout, r2.stdout
+    assert "NOEXCHANGE True" in r2.stdout, r2.stdout
