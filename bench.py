@@ -37,6 +37,24 @@ from nospa_rdf_data_cube_validator_spark.functions.linking import (  # noqa: E40
 from nospa_rdf_data_cube_validator_spark.session import get_spark  # noqa: E402
 from nospa_rdf_data_cube_validator_spark.sources.transcripts import synth_transcripts  # noqa: E402
 
+def shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all stages
+    this session, from the JVM AppStatusStore (works with the UI disabled).
+    Diff two snapshots to attribute shuffle volume to a query — the same
+    numbers the Spark UI's stage page shows, so they transfer 1:1 to a real
+    cluster's shuffle-service traffic."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    empty = sc._jvm.java.util.ArrayList()
+    stages = store.stageList(empty, False, False, sc._gateway.new_array(sc._jvm.double, 0), empty)
+    rd = wr = 0
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        rd += s.shuffleReadBytes()
+        wr += s.shuffleWriteBytes()
+    return rd, wr
+
+
 HEADLINE = [
     "kg_triples",
     "ic12_duplicates",
@@ -75,6 +93,15 @@ def bench_cube_validation(spark, sf: float) -> tuple[float, dict]:
     n12 = v.ic12().count()
     validate_sec = time.time() - t1
     v.unpersist()  # release the validator's obs-scale caches before the next bench
+    # String-side half of the shuffle A/B (untimed): a FRESH validator so
+    # ic12's measurement includes its base-aggregation shuffle — the same
+    # cold-cache state the encoded-side measurement below runs in.
+    v_str = CubeValidator(normalized)
+    s0 = shuffle_totals(spark)
+    v_str.ic12().count()
+    s1 = shuffle_totals(spark)
+    v_str.unpersist()
+    str_ic12_shuffle = s1[0] - s0[0]  # string-term ic12 shuffle-read bytes
 
     # At-rest validate-many (the 100 TB deployment shape and run_pipeline's
     # DEFAULT): encode + bucket ONCE (amortized over every later validation
@@ -87,6 +114,21 @@ def bench_cube_validation(spark, sf: float) -> tuple[float, dict]:
 
     t2 = time.time()
     enc = encode_store(normalized, parts=spark.sparkContext.defaultParallelism)
+    enc.df = enc.df.localCheckpoint(eager=True)
+    enc_only_sec = time.time() - t2
+    # Encoded-vs-string shuffle-volume A/B (the plans/encoding.py claim,
+    # measured): same ic12 plan shape over the encoded IN-MEMORY store —
+    # checkpointed above, so the measurement excludes the encoding DAG.
+    # Untimed: not part of the encode+bucket amortized cost.
+    v_enc = CubeValidator(enc)
+    s2 = shuffle_totals(spark)
+    e12 = v_enc.ic12().count()
+    s3 = shuffle_totals(spark)
+    v_enc.unpersist()
+    enc_ic12_shuffle = s3[0] - s2[0]
+    if e12 != n12:
+        raise RuntimeError(f"encoded ic12 mismatch: {e12} != {n12}")
+    t2 = time.time() - enc_only_sec  # resume the encode+bucket clock
     # a previous SESSION's managed-table dir survives the in-memory catalog
     # (on-disk warehouse): drop both before re-creating, as run_table does
     spark.sql("DROP TABLE IF EXISTS bench_cube_atrest")
@@ -99,8 +141,10 @@ def bench_cube_validation(spark, sf: float) -> tuple[float, dict]:
     encode_sec = time.time() - t2
     v2 = CubeValidator(enc)
     t3 = time.time()
+    s4 = shuffle_totals(spark)
     a11 = v2.ic11().count()
     a12 = v2.ic12().count()
+    s5 = shuffle_totals(spark)
     atrest_sec = time.time() - t3
     v2.unpersist()
     if (a11, a12) != (n11, n12):  # at-rest path must agree with in-memory
@@ -118,6 +162,12 @@ def bench_cube_validation(spark, sf: float) -> tuple[float, dict]:
         "atrest_encode_bucket_sec": round(encode_sec, 3),
         "atrest_validate_sec": round(atrest_sec, 3),
         "atrest_obs_per_sec": round(n_obs / max(atrest_sec, 1e-9)),
+        # measured shuffle-read bytes, same ic12 plan shape: string terms vs
+        # dictionary-encoded ids vs encoded+bucketed at-rest (ic11+ic12)
+        "ic12_shuffle_read_str": str_ic12_shuffle,
+        "ic12_shuffle_read_enc": enc_ic12_shuffle,
+        "ic12_shuffle_str_over_enc": round(str_ic12_shuffle / max(enc_ic12_shuffle, 1), 2),
+        "atrest_validate_shuffle_read": s5[0] - s4[0],
     }
     return build_sec + validate_sec, stats
 
@@ -144,11 +194,16 @@ def main() -> None:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         df.select([F.count(c) for c in df.columns]).collect()
 
+    loadavg_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    shuffle: dict[str, dict] = {}
     for name in HEADLINE:
         t0 = time.time()
+        pre = shuffle_totals(spark)
         queries[name](spark, sf_dir).count()
+        post = shuffle_totals(spark)
         timings[name] = round(time.time() - t0, 3)
+        shuffle[name] = {"read": post[0] - pre[0], "write": post[1] - pre[1]}
 
     cube_sec, cube_stats = bench_cube_validation(spark, sf)
     timings["cube_build_validate"] = round(cube_sec, 3)
@@ -161,6 +216,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_bytes": shuffle,
+                "loadavg_start": loadavg_start,
                 "sf": sf,
                 "cpus": int(cpus),
                 "cube": cube_stats,

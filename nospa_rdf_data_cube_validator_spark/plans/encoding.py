@@ -3,10 +3,13 @@
 The validation plans shuffle RDF terms constantly (normalize dedup, the
 IC-11/12 per-observation aggregations, duplicate-key windows). Term strings
 average ~60-200 bytes; the int64 encoding cuts the bytes moved through the
-memory bus / shuffle / checkpoint path ~5-10x, which is the binding
-constraint for thread- and executor-scaling of the string form (measured
-on this box: the end-to-end string job stops scaling past 8 threads while
-its CPU-bound stages scale to ~93% of the hardware ceiling).
+memory bus / shuffle / checkpoint path severalfold — bench.py measures the
+same cold-cache ic12 plan at 3.5x fewer shuffle-read bytes encoded vs
+string at sf0.01 (8.50 MB -> 2.44 MB, `ic12_shuffle_str_over_enc` in
+BENCH_r*.json; the gap widens with term length at scale), which is the
+binding constraint for thread- and executor-scaling of the string form
+(measured on this box: the end-to-end string job stops scaling past 8
+threads while its CPU-bound stages scale to ~93% of the hardware ceiling).
 
 Exactness is preserved by construction:
 
