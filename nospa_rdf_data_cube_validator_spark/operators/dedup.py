@@ -20,7 +20,7 @@ pairs shuffle; hot buckets (boilerplate shingles) are capped with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.closure import connected_components
@@ -31,13 +31,23 @@ from ..plans.closure import connected_components
 # ---------------------------------------------------------------------------
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, canonical_id, fingerprint) for every doc in a >1 group except the
-    minimum-id representative."""
-    w = Window.partitionBy("fingerprint")
+    minimum-id representative.
+
+    Two-phase skew-safe form: groupBy(fingerprint) with map-side partial
+    aggregation first (a corpus that is 90% one boilerplate page ships only
+    per-partition partials, not every row into one window partition — a
+    window cannot be skew-split, a join can, and AQE broadcasts the dup
+    groups when they are few), then join the duplicate groups back."""
+    ids = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fingerprint"))
+    groups = (
+        ids.groupBy("fingerprint")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("fingerprint", "canonical_id")
+    )
     return (
-        docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fingerprint"))
-        .withColumn("canonical_id", F.min("id").over(w))
-        .withColumn("group_size", F.count("*").over(w))
-        .where((F.col("group_size") > 1) & (F.col("id") != F.col("canonical_id")))
+        ids.join(groups, "fingerprint", "inner")
+        .where(F.col("id") != F.col("canonical_id"))
         .select("id", "canonical_id", "fingerprint")
     )
 

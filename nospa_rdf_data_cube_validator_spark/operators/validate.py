@@ -429,13 +429,29 @@ class CubeValidator:
         else:
             key_expr = "array_sort(array_distinct(transform(relevant, x -> x.min_val)))"
         complete = base.where(F.size("missing") == 0).withColumn("dim_key", F.expr(key_expr))
-        # 8-byte hash leads the window key so the partition sort compares
-        # longs first and falls back to the string array only on hash ties —
-        # exactness kept, sort cost cut at observation scale.
+        # Two-phase skew-safe dup detection (vs the earlier
+        # Window.partitionBy(key) min-over form): phase 1 is a groupBy with
+        # MAP-SIDE partial aggregation, so even a degenerate cube where
+        # every observation shares one key (one dataset, zero declared
+        # dims -> empty dim_key) ships only per-partition (min, count)
+        # partials through the shuffle instead of every row into a single
+        # window partition; phase 2 joins the (rare) duplicate groups back.
+        # A window partition cannot be split — AQE's skew handling only
+        # applies to joins — so the window form has an unfixable straggler
+        # at 100 TB; the join here is a plain shuffle join AQE CAN split,
+        # and it degenerates to broadcast when dup groups are few (the
+        # common case: duplicate keys are the exception, not the rule).
+        # 8-byte hash leads the key so shuffle comparison is long-first.
         complete = complete.withColumn("key_h", F.xxhash64("ds", "dim_key"))
-        w = Window.partitionBy("key_h", "ds", "dim_key")
+        keyed = complete.select("obs", "key_h", "ds", "dim_key")
+        groups = (
+            keyed.groupBy("key_h", "ds", "dim_key")
+            .agg(F.min("obs").alias("rep"), F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .select("key_h", "ds", "dim_key", "rep")
+        )
         return (
-            complete.withColumn("rep", F.min("obs").over(w))
+            keyed.join(groups, ["key_h", "ds", "dim_key"], "inner")
             .where(F.col("obs") != F.col("rep"))
             .select("obs")
             .distinct()

@@ -1,0 +1,81 @@
+"""Skew-safety tests for the two-phase (groupBy + join-back) duplicate
+detection, replacing the Window.partitionBy(key) min-over form.
+
+The degenerate shape: EVERY row shares one key. A window partition cannot
+be split (AQE skew handling applies only to joins/aggregations), so the
+window form funnels the whole input through a single task at 100 TB; the
+two-phase form ships only per-partition (min, count) partials through the
+groupBy shuffle and joins the duplicate groups back with a join AQE can
+split or broadcast. Oracles here are by construction: with one shared key,
+every row except the global minimum id is a duplicate.
+"""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from nospa_rdf_data_cube_validator_spark import qb
+from nospa_rdf_data_cube_validator_spark.operators.dedup import exact_duplicates
+from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
+
+N_OBS = 1_000_000
+EG = "http://example.org/skew#"
+
+
+def _degenerate_cube(spark, n: int):
+    """One dataset, a DSD declaring ZERO dimensions -> every observation is
+    'complete' with the empty dim-value set as its duplicate key (the
+    SURVEY §2.4 A2 / ds_dims_arr empty-array branch)."""
+    meta = spark.createDataFrame(
+        [(EG + "ds", qb.QB_STRUCTURE, EG + "dsd", "iri", None, None)],
+        "subj string, pred string, obj string, obj_kind string,"
+        " obj_datatype string, obj_lang string",
+    )
+    obs = spark.range(n).select(
+        F.concat(F.lit(EG + "obs/"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("subj"),
+        F.lit(qb.QB_DATASET_PROP).alias("pred"),
+        F.lit(EG + "ds").alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    return TripleStore(meta.unionByName(obs))
+
+
+def test_ic12_degenerate_single_key_two_phase(spark):
+    v = CubeValidator(_degenerate_cube(spark, N_OBS))
+    dup = v.ic12()
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "ic12 must not funnel the hot key through a window partition"
+    # partial (map-side) aggregation must appear before the key shuffle
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+    t0 = time.time()
+    got = dup.count()
+    elapsed = time.time() - t0
+    v.unpersist()
+    assert got == N_OBS - 1  # everything but the global min observation
+    # the representative must be the min id, i.e. obs 0 is NOT flagged
+    assert v.ic12().where(F.col("obs") == EG + "obs/00000000").count() == 0
+    v.unpersist()
+    # loose wall guard: a single-task straggler at 1M rows on local[4] blows
+    # far past this; the two-phase form finishes in a few seconds
+    assert elapsed < 120, f"ic12 took {elapsed:.0f}s on the degenerate cube"
+
+
+def test_exact_duplicates_degenerate_single_fingerprint(spark):
+    docs = spark.range(N_OBS).select(
+        F.col("id").alias("doc_id"), F.lit("the same boilerplate page").alias("text")
+    )
+    dup = exact_duplicates(docs)
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = dup.agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("min_id"),
+        F.countDistinct("canonical_id").alias("n_canon"),
+    ).collect()[0]
+    assert rows["n"] == N_OBS - 1
+    assert rows["min_id"] == 1  # doc 0 is the representative, never flagged
+    assert rows["n_canon"] == 1
