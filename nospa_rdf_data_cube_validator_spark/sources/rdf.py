@@ -123,6 +123,7 @@ _TTL_TOKEN = re.compile(
     | (?P<long_literal>"{3}(?:[^"\\]|\\.|"(?!""))*"{3}(?:\^\^(?:<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*)|@[A-Za-z0-9-]+)?)
     | (?P<literal>"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*)|@[A-Za-z0-9-]+)?)
     | (?P<bnode>_:[\w.-]+)
+    | (?P<dtmark>\^\^)
     | (?P<punct>[;,.\[\]()])
     | (?P<kw_a>\ba\b)
     | (?P<boolean>\btrue\b|\bfalse\b)
@@ -291,6 +292,21 @@ class _TurtleParser:
                 continue
             return
 
+    def _maybe_standalone_datatype(self, dt: str | None, lang: str | None) -> str | None:
+        """Turtle allows whitespace between a String and its '^^' datatype
+        marker (they are separate terminals in the W3C grammar); the token
+        regex only fuses an ADJACENT '^^<dt>', so a standalone '^^' token
+        after the literal carries the datatype instead."""
+        if self._peek() != "^^":
+            return dt
+        if dt or lang:
+            raise ValueError("literal cannot carry both a datatype and a language tag")
+        self._next()
+        t = self._next()
+        if t is None or not (t.startswith("<") or ":" in t):
+            raise ValueError(f"expected datatype IRI after '^^', got {t!r}")
+        return t[1:-1] if t.startswith("<") else self._expand(t)
+
     def _parse_object(self, subj: str, pred: str) -> None:
         tok = self._next()
         if tok == "[":
@@ -322,6 +338,7 @@ class _TurtleParser:
             dt = m.group("dt")
             if dt:
                 dt = dt[1:-1] if dt.startswith("<") else self._expand(dt)
+            dt = self._maybe_standalone_datatype(dt, m.group("lang"))
             self.rows.append(terms.lit_row(subj, pred, lex, dt or "", m.group("lang") or ""))
             return
         if tok.startswith('"'):
@@ -333,6 +350,7 @@ class _TurtleParser:
             dt = m.group("dt")
             if dt:
                 dt = dt[1:-1] if dt.startswith("<") else self._expand(dt)
+            dt = self._maybe_standalone_datatype(dt, m.group("lang"))
             self.rows.append(terms.lit_row(subj, pred, lex, dt or "", m.group("lang") or ""))
             return
         if tok in ("true", "false"):
@@ -377,14 +395,18 @@ class _RdfXmlParser:
     parseType values FAIL LOUDLY (ValueError) rather than silently
     emitting bogus triples, matching on_malformed='raise'."""
 
-    def __init__(self, base: str = ""):
+    def __init__(self, base: str = "", bnode_tag: str = ""):
         self.base = base
         self.rows: list[tuple] = []
         self._bnode_n = 0
+        # disambiguates parser-GENERATED anonymous labels across documents
+        # (explicit rdf:nodeID labels are global by definition and must
+        # still merge across part files, so they are never tagged)
+        self._bnode_tag = bnode_tag
 
     def _fresh_bnode(self) -> str:
         self._bnode_n += 1
-        return f"_:x{self._bnode_n}"
+        return f"_:x{self._bnode_tag}{self._bnode_n}"
 
     @staticmethod
     def _expand(tag: str) -> str:
@@ -670,7 +692,10 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     # row) — no extra validation scan over the data.
     illegal = "[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]"
     line = F.when(
-        F.concat_ws("", F.col("subj"), F.col("obj")).rlike(illegal),
+        # obj_datatype is rendered raw into the rdf:datatype attribute (the
+        # escape passes C0 through), so it must be guarded alongside
+        # subj/obj \u2014 concat_ws skips nulls, so coalesce is implicit
+        F.concat_ws("", F.col("subj"), F.col("obj"), F.col("obj_datatype")).rlike(illegal),
         F.raise_error(
             F.concat(
                 F.lit(
@@ -705,10 +730,13 @@ def read_rdfxml_dir(spark: SparkSession, path: str) -> DataFrame:
     import glob as _glob
 
     rows: list[tuple] = []
-    parser = None
-    for f in sorted(_glob.glob(os.path.join(path, "part-*"))):
+    for idx, f in enumerate(sorted(_glob.glob(os.path.join(path, "part-*")))):
         with open(f, encoding="utf-8") as fh:
-            parser = _RdfXmlParser()
+            # per-file tag: a fresh parser restarts its anonymous-bnode
+            # counter, so untagged labels (_:x1, _:x2 ...) would wrongly
+            # merge distinct anonymous nodes across part files (general
+            # RDF/XML input; write_rdfxml output always carries nodeID)
+            parser = _RdfXmlParser(bnode_tag=f"f{idx}_")
             rows.extend(parser.parse(fh.read()))
     return terms.triples_df(spark, rows)
 

@@ -428,6 +428,68 @@ def test_rdfxml_writer_roundtrip(spark, tmp_path):
     ctrl = _t.triples_df(spark, [_t.lit_row("http://x/s", "http://x/ns#p", "bad\x1fchar")])
     with pytest.raises(Exception, match="C0 control"):
         write_rdfxml(ctrl, str(tmp_path / "xml_rt4"))
+    # ... and the guard covers the rdf:datatype attribute too, not just
+    # subj/obj (a C0 in the datatype IRI renders into the attribute raw)
+    ctrl_dt = _t.triples_df(
+        spark, [_t.lit_row("http://x/s", "http://x/ns#p", "ok", "http://x/dt\x01bad")]
+    )
+    with pytest.raises(Exception, match="C0 control"):
+        write_rdfxml(ctrl_dt, str(tmp_path / "xml_rt5"))
+
+
+def test_rdfxml_dir_anonymous_bnodes_distinct_across_files(spark, tmp_path):
+    """read_rdfxml_dir parses each part file with a fresh parser; its
+    GENERATED anonymous labels must not collide across files (two distinct
+    anonymous nodes in two files would wrongly merge), while explicit
+    rdf:nodeID labels still merge by definition."""
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdfxml_dir
+
+    d = tmp_path / "xmlparts"
+    d.mkdir()
+    doc = (
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:eg="http://example.org/ns#">'
+        '<rdf:Description rdf:about="http://example.org/s{i}">'
+        "<eg:p><rdf:Description><eg:q>v{i}</eg:q></rdf:Description></eg:p>"
+        "</rdf:Description></rdf:RDF>"
+    )
+    for i in range(2):
+        (d / f"part-{i:05d}").write_text(doc.format(i=i))
+    df = read_rdfxml_dir(spark, str(d))
+    # 2 files x (s_i --p--> anon, anon --q--> v_i): 4 triples, and the two
+    # anonymous objects must be DISTINCT bnode labels
+    anon = [
+        r["obj"]
+        for r in df.where(F.col("pred") == "http://example.org/ns#p").collect()
+    ]
+    assert len(anon) == 2 and anon[0] != anon[1], anon
+    assert df.count() == 4
+
+
+def test_turtle_whitespace_before_datatype_marker(spark, tmp_path):
+    """Turtle's '^^' is a separate terminal: whitespace between the string
+    and the datatype marker is legal and must parse identically to the
+    fused form (previously misreported as N3-only syntax)."""
+    p = tmp_path / "ws_dt.ttl"
+    p.write_text(
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        '<http://e/s> <http://e/p> "42" ^^ xsd:int .\n'
+        '<http://e/s> <http://e/q> "42"^^xsd:int .\n'
+        '<http://e/s> <http://e/r> """long""" ^^ <http://e/dt> .\n'
+    )
+    df = read_turtle(spark, str(p))
+    rows = {r["pred"]: (r["obj"], r["obj_datatype"]) for r in df.collect()}
+    assert rows["http://e/p"] == rows["http://e/q"] == (
+        "literal:http://www.w3.org/2001/XMLSchema#int::42",
+        "http://www.w3.org/2001/XMLSchema#int",
+    )
+    assert rows["http://e/r"][1] == "http://e/dt"
+    # but '^^' with no datatype after it still fails loudly
+    bad = tmp_path / "bad_dt.ttl"
+    bad.write_text('<http://e/s> <http://e/p> "x" ^^ .\n')
+    with pytest.raises(Exception, match="expected datatype IRI"):
+        read_turtle(spark, str(bad))
 
 
 def test_turtle_rejects_n3_only_syntax(spark, tmp_path):

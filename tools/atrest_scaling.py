@@ -1,0 +1,135 @@
+"""N-vs-4N scaling sample for the AT-REST validate-many path (the default
+run_pipeline(bucketed=True) deployment shape): CubeValidator.validate_all()
+driven straight off the StageRunner.run_table bucketed cube, measured in two
+fresh JVMs at local[8] and local[32].
+
+The cube is PREPARED ONCE (untimed) by a run_pipeline call into a shared
+workdir + warehouse; each measurement JVM then resumes it through
+run_table's cross-session re-register path (CREATE TABLE ... CLUSTERED BY
+... LOCATION over the surviving warehouse files), exactly how a
+validate-many deployment re-attaches to the at-rest layout — so the timed
+region is validation ONLY, no construction, no parse, no encode.
+
+Quiet-gated like tools/quiet_scaling.py: skips unless load is low, appends
+an {"atrest_validate": ...} line to tools/scaling_samples.jsonl.
+
+Usage: python tools/atrest_scaling.py [n_convs] [max_load1] [max_load5]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PREP = """
+import sys
+sys.path.insert(0, {repo!r})
+from nospa_rdf_data_cube_validator_spark.session import get_spark
+from nospa_rdf_data_cube_validator_spark.sources.transcripts import synth_transcripts
+from nospa_rdf_data_cube_validator_spark.pipeline import run_pipeline
+spark = get_spark(app_name="atrest-prep", master="local[32]", shuffle_partitions=64,
+                  extra_conf={{"spark.sql.warehouse.dir": {warehouse!r}}})
+tr = synth_transcripts(spark, n_convs={n_convs}, base_turns=16, hot_convs=4, hot_turns=8000)
+# validate=True builds the cube_atrest bucketed table; the violation frames
+# stay LAZY (never counted here), so prep pays construction+encode+bucket only
+res = run_pipeline(spark, tr, {workdir!r}, validate=True)
+print("PREP_ROWS", res["store"].df.count())
+res["validator"].unpersist()
+"""
+
+WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from nospa_rdf_data_cube_validator_spark.session import get_spark
+from nospa_rdf_data_cube_validator_spark.pipeline import StageRunner
+from nospa_rdf_data_cube_validator_spark.plans.encoding import EncodedTripleStore
+from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
+
+cores = int(sys.argv[1])
+spark = get_spark(app_name=f"atrest-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=64,
+                  extra_conf={{"spark.sql.warehouse.dir": {warehouse!r}}})
+runner = StageRunner(spark, {workdir!r})
+def no_build():
+    raise AssertionError("at-rest table must resume, not rebuild")
+term_dict = runner.run("term_dict", no_build)
+cube = runner.run_table("cube_atrest", no_build)
+n_triples = cube.count()   # warms page cache + codegen, untimed
+store = EncodedTripleStore(cube, term_dict)
+v = CubeValidator(store)
+t0 = time.time()
+counts = {{name: df.count() for name, df in v.validate_all().items()}}
+wall = time.time() - t0
+v.unpersist()
+print(json.dumps({{"cores": cores, "n_triples": n_triples,
+                  "violations": {{k: c for k, c in counts.items() if c}},
+                  "wall_sec": round(wall, 2),
+                  "triples_per_sec": round(n_triples / wall, 1)}}))
+"""
+
+
+def _load() -> tuple[float, float]:
+    l1, l5 = (float(x) for x in open("/proc/loadavg").read().split()[:2])
+    return l1, l5
+
+
+def _run(script: str, *args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", script, *args], capture_output=True, text=True
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-3000:])
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 90000
+    max1 = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    max5 = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+    l1, l5 = _load()
+    if l1 > max1 or l5 > max5:
+        print(json.dumps({"skipped": True, "load1": l1, "load5": l5}))
+        return
+    workdir = f"/tmp/atrest_scaling_{n_convs}"
+    warehouse = os.path.join(workdir, "warehouse")
+    fmt = dict(repo=REPO, workdir=workdir, warehouse=warehouse, n_convs=n_convs)
+    if not os.path.exists(os.path.join(workdir, "_MANIFEST.json")):
+        prep_out = subprocess.run(
+            [sys.executable, "-c", PREP.format(**fmt)], capture_output=True, text=True
+        )
+        if prep_out.returncode != 0:
+            raise RuntimeError(prep_out.stderr[-3000:])
+    if os.environ.get("SPARK_ATREST_PREP_ONLY") == "1":
+        print(json.dumps({"prepped": workdir}))
+        return
+    l1p, _ = _load()
+    worker = WORKER.format(**fmt)
+    lo = _run(worker, "8")
+    l1b, _ = _load()
+    hi = _run(worker, "32")
+    l1c, _ = _load()
+    if lo["violations"] != hi["violations"]:
+        raise RuntimeError(f"width changed results: {lo['violations']} != {hi['violations']}")
+    obs = {
+        "atrest_validate": {
+            "n_convs": n_convs,
+            "loads": {"before": l1, "after_prep": l1p, "mid": l1b, "after": l1c},
+            "low": lo,
+            "high": hi,
+            "speedup": round(hi["triples_per_sec"] / lo["triples_per_sec"], 3),
+            "efficiency": round(hi["triples_per_sec"] / lo["triples_per_sec"] / 4, 3),
+        }
+    }
+    with open(os.path.join(REPO, "tools", "scaling_samples.jsonl"), "a") as fh:
+        fh.write(json.dumps(obs) + "\n")
+    print(json.dumps(obs))
+
+
+if __name__ == "__main__":
+    main()
