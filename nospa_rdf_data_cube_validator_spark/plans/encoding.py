@@ -4,9 +4,11 @@ The validation plans shuffle RDF terms constantly (normalize dedup, the
 IC-11/12 per-observation aggregations, duplicate-key windows). Term strings
 average ~60-200 bytes; the int64 encoding cuts the bytes moved through the
 memory bus / shuffle / checkpoint path severalfold — bench.py measures the
-same cold-cache ic12 plan at 3.5x fewer shuffle-read bytes encoded vs
-string at sf0.01 (8.50 MB -> 2.44 MB, `ic12_shuffle_str_over_enc` in
-BENCH_r*.json; the gap widens with term length at scale), which is the
+same cold-cache ic12 plan at 1.9-3.5x fewer shuffle-read bytes encoded vs
+string (`ic12_shuffle_str_over_enc` in BENCH_r*.json: 3.49x at sf0.01 =
+8.50->2.44 MB, 1.85x at sf0.1 = 65.9->35.7 MB; per-row struct overhead
+dilutes the ratio as group fan-in grows, the per-TERM byte saving itself
+is the steady ~8x of 60-200B strings vs 8B ids). Moved bytes are the
 binding constraint for thread- and executor-scaling of the string form
 (measured on this box: the end-to-end string job stops scaling past 8
 threads while its CPU-bound stages scale to ~93% of the hardware ceiling).

@@ -61,13 +61,27 @@ term_dict = runner.run("term_dict", no_build)
 cube = runner.run_table("cube_atrest", no_build)
 n_triples = cube.count()   # warms page cache + codegen, untimed
 store = EncodedTripleStore(cube, term_dict)
+# hot path alone (IC-11/12, the reference's >99%-of-runtime operator):
+# observation-scale work with no per-IC fixed overhead dilution
+v_hot = CubeValidator(store)
+t0 = time.time()
+h11 = v_hot.ic11().count(); h12 = v_hot.ic12().count()
+hot_wall = time.time() - t0
+v_hot.unpersist()
+# full 21-IC sweep on a FRESH validator (no cache contamination): its
+# many metadata-scale ICs add a fixed per-stage scheduling fraction that
+# no parallelism level absorbs (the Amdahl floor of validate-many on ONE
+# small cube; a 100 TB cube grows only the obs-scale numerator)
 v = CubeValidator(store)
 t0 = time.time()
 counts = {{name: df.count() for name, df in v.validate_all().items()}}
 wall = time.time() - t0
 v.unpersist()
+assert (counts["ic11"], counts["ic12"]) == (h11, h12)
 print(json.dumps({{"cores": cores, "n_triples": n_triples,
                   "violations": {{k: c for k, c in counts.items() if c}},
+                  "hot_wall_sec": round(hot_wall, 2),
+                  "hot_triples_per_sec": round(n_triples / hot_wall, 1),
                   "wall_sec": round(wall, 2),
                   "triples_per_sec": round(n_triples / wall, 1)}}))
 """
@@ -124,6 +138,10 @@ def main() -> None:
             "high": hi,
             "speedup": round(hi["triples_per_sec"] / lo["triples_per_sec"], 3),
             "efficiency": round(hi["triples_per_sec"] / lo["triples_per_sec"] / 4, 3),
+            "hot_speedup": round(hi["hot_triples_per_sec"] / lo["hot_triples_per_sec"], 3),
+            "hot_efficiency": round(
+                hi["hot_triples_per_sec"] / lo["hot_triples_per_sec"] / 4, 3
+            ),
         }
     }
     with open(os.path.join(REPO, "tools", "scaling_samples.jsonl"), "a") as fh:
