@@ -893,6 +893,33 @@ def q_enc_cube_ic12(spark, sf_dir):
     return enc.decode(v.ic12(), ["obs"]).select("obs")
 
 
+_GATE_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _gate_workdir_housekeeping(workdir: str) -> None:
+    """Bound the pid-keyed gate workdirs: remove THIS process's dir at
+    exit (after the gate's warm-resume window closes) and sweep sibling
+    dirs older than a day (their owning driver processes are long gone)."""
+    import atexit
+    import shutil
+    import tempfile
+    import time as _time
+
+    if workdir not in _GATE_CLEANUP_REGISTERED:
+        _GATE_CLEANUP_REGISTERED.add(workdir)
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    tmp = tempfile.gettempdir()
+    try:
+        for name in os.listdir(tmp):
+            if not name.startswith("nospa_gate_atrest_"):
+                continue
+            p = os.path.join(tmp, name)
+            if p != workdir and _time.time() - os.path.getmtime(p) > 86400:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def q_bucketed_cube_ic12(spark, sf_dir):
     """CubeValidator.ic12 off the AT-REST bucketed table — the default
     run_pipeline(bucketed=True) layout, end to end through
@@ -913,12 +940,15 @@ def q_bucketed_cube_ic12(spark, sf_dir):
     # concurrent driver processes from racing on a shared
     # DROP TABLE/rmtree/write of the same warehouse path. Warm resume
     # still works within a driver process (the gate's repeat runs).
+    # Leak control: this process's dir is removed at exit, and stale
+    # siblings from dead pids are swept opportunistically.
     src = os.path.join(sf_dir, "lineitem.parquet")
     st = os.stat(src)
     key = hashlib.md5(
         f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|{os.getpid()}".encode()
     ).hexdigest()[:12]
     workdir = os.path.join(tempfile.gettempdir(), f"nospa_gate_atrest_{key}")
+    _gate_workdir_housekeeping(workdir)
     runner = StageRunner(spark, workdir)
     cube = runner.run_table(
         "gate_cube_atrest", lambda: _lineitem_cube(spark, sf_dir), buckets=8

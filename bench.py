@@ -178,7 +178,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     spark = get_spark(
-        app_name="nospa-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        app_name="nospa-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        # shuffle_totals() diffs CUMULATIVE AppStatusStore sums; stage
+        # eviction (default retainedStages=1000) between two snapshots
+        # would silently undercount, so retain far more than a bench run
+        # ever creates
+        extra_conf={"spark.ui.retainedStages": "100000"},
     )
 
     queries = entry_mod.queries()

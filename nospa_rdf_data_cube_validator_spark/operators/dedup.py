@@ -43,10 +43,14 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         ids.groupBy("fingerprint")
         .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n"))
         .where(F.col("n") > 1)
-        .select("fingerprint", "canonical_id")
+        .select(F.col("fingerprint").alias("fp"), "canonical_id")
     )
+    # null-SAFE join key: md5(NULL text) is NULL, and groupBy keeps the
+    # null group (all null-text docs ARE exact duplicates of each other,
+    # as the window form treated them) — a plain equi-join would silently
+    # drop it. <=> keys still plan as a hash join, not a cross product.
     return (
-        ids.join(groups, "fingerprint", "inner")
+        ids.join(groups, F.col("fingerprint").eqNullSafe(F.col("fp")), "inner")
         .where(F.col("id") != F.col("canonical_id"))
         .select("id", "canonical_id", "fingerprint")
     )

@@ -282,6 +282,16 @@ class StageRunner:
         df = build()
         from .sources.rdf import write_bucketed
 
+        # Crash discipline: saveAsTable writes IN PLACE at warehouse/<tbl>
+        # (unlike run()'s versioned dirs), so clear the manifest's done
+        # flag BEFORE destroying the old location — a kill mid-write then
+        # leaves done=false and the next session honestly rebuilds instead
+        # of re-registering a table over partial part files.
+        if info is not None:
+            info = dict(info)
+            info["done"] = False
+            self.manifest["stages"][stage] = info
+            self._save()
         # a previous SESSION's managed-table dir can survive the in-memory
         # catalog (on-disk warehouse): drop both before re-creating
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -306,8 +316,10 @@ class StageRunner:
     def _register_bucketed(self, tbl: str, loc: str, info: dict) -> DataFrame | None:
         """Re-create the catalog entry for an at-rest bucketed table whose
         files survived a session restart. Returns None (caller rebuilds) if
-        the files are unreadable or the DDL is rejected — never raises, so
-        a corrupted warehouse degrades to an honest rebuild."""
+        the files are unreadable, the DDL is rejected, or the files do not
+        hold the manifest's committed row count (partial/foreign data must
+        never be silently validated) — never raises, so a corrupted
+        warehouse degrades to an honest rebuild."""
         try:
             schema = self.spark.read.parquet(loc).schema
             ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
@@ -319,7 +331,12 @@ class StageRunner:
                 f"INTO {info.get('buckets', 32)} BUCKETS "
                 f"LOCATION '{loc}'"
             )
-            return self.spark.table(tbl)
+            out = self.spark.table(tbl)
+            expected = info.get("rows")
+            if expected is not None and out.count() != expected:
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                return None
+            return out
         except Exception:  # noqa: BLE001 — degrade to rebuild
             return None
 

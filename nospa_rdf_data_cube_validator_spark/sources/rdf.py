@@ -119,6 +119,7 @@ _TTL_TOKEN = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
     | (?P<prefix_decl>@prefix|@base|PREFIX|BASE)
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<iri><[^>]*>)
     | (?P<long_literal>"{3}(?:[^"\\]|\\.|"(?!""))*"{3}(?:\^\^(?:<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*)|@[A-Za-z0-9-]+)?)
     | (?P<literal>"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[A-Za-z][\w.-]*:[\w.-]*)|@[A-Za-z0-9-]+)?)
@@ -241,6 +242,9 @@ class _TurtleParser:
             return node
         if tok.startswith("_:") or tok.startswith("<") or ":" in tok:
             return tok if tok.startswith("_:") else self._expand(tok)
+        if tok.startswith("@"):
+            # @forAll/@forSome keep their specific N3-only diagnostic
+            raise self._unsupported(tok)
         raise ValueError(f"unexpected subject token {tok!r}")
 
     def _parse_collection(self) -> tuple[str, bool]:
@@ -292,20 +296,28 @@ class _TurtleParser:
                 continue
             return
 
-    def _maybe_standalone_datatype(self, dt: str | None, lang: str | None) -> str | None:
+    _LANGTAG_RE = re.compile(r"@[A-Za-z][A-Za-z0-9-]*$")
+
+    def _literal_suffix(self, dt: str | None, lang: str | None) -> tuple[str | None, str | None]:
         """Turtle allows whitespace between a String and its '^^' datatype
-        marker (they are separate terminals in the W3C grammar); the token
-        regex only fuses an ADJACENT '^^<dt>', so a standalone '^^' token
-        after the literal carries the datatype instead."""
-        if self._peek() != "^^":
-            return dt
-        if dt or lang:
-            raise ValueError("literal cannot carry both a datatype and a language tag")
-        self._next()
-        t = self._next()
-        if t is None or not (t.startswith("<") or ":" in t):
-            raise ValueError(f"expected datatype IRI after '^^', got {t!r}")
-        return t[1:-1] if t.startswith("<") else self._expand(t)
+        marker or LANGTAG (separate terminals in the W3C grammar); the
+        token regex only fuses ADJACENT suffixes, so a standalone '^^' or
+        '@lang' token after the literal carries them instead."""
+        nxt = self._peek()
+        if nxt == "^^":
+            if dt or lang:
+                raise ValueError("literal cannot carry both a datatype and a language tag")
+            self._next()
+            t = self._next()
+            if t is None or t.startswith("_:") or not (t.startswith("<") or ":" in t):
+                raise ValueError(f"expected datatype IRI after '^^', got {t!r}")
+            return (t[1:-1] if t.startswith("<") else self._expand(t)), lang
+        if nxt is not None and self._LANGTAG_RE.fullmatch(nxt):
+            if dt or lang:
+                raise ValueError("literal cannot carry both a datatype and a language tag")
+            self._next()
+            return dt, nxt[1:]
+        return dt, lang
 
     def _parse_object(self, subj: str, pred: str) -> None:
         tok = self._next()
@@ -338,8 +350,8 @@ class _TurtleParser:
             dt = m.group("dt")
             if dt:
                 dt = dt[1:-1] if dt.startswith("<") else self._expand(dt)
-            dt = self._maybe_standalone_datatype(dt, m.group("lang"))
-            self.rows.append(terms.lit_row(subj, pred, lex, dt or "", m.group("lang") or ""))
+            dt, lang = self._literal_suffix(dt, m.group("lang"))
+            self.rows.append(terms.lit_row(subj, pred, lex, dt or "", lang or ""))
             return
         if tok.startswith('"'):
             m = re.match(
@@ -350,8 +362,8 @@ class _TurtleParser:
             dt = m.group("dt")
             if dt:
                 dt = dt[1:-1] if dt.startswith("<") else self._expand(dt)
-            dt = self._maybe_standalone_datatype(dt, m.group("lang"))
-            self.rows.append(terms.lit_row(subj, pred, lex, dt or "", m.group("lang") or ""))
+            dt, lang = self._literal_suffix(dt, m.group("lang"))
+            self.rows.append(terms.lit_row(subj, pred, lex, dt or "", lang or ""))
             return
         if tok in ("true", "false"):
             self.rows.append(terms.lit_row(subj, pred, tok, qb.XSD_BOOLEAN))
@@ -673,7 +685,7 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
         )
         .when(
             F.col("obj_lang").isNotNull(),
-            F.concat(F.lit("<"), F.col("qn"), F.lit(' xml:lang="'), F.col("obj_lang"), F.lit('">'), lex, F.lit("</"), F.col("qn"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("qn"), F.lit(' xml:lang="'), _xml_escape(F.col("obj_lang")), F.lit('">'), lex, F.lit("</"), F.col("qn"), F.lit(">")),
         )
         .when(
             F.col("obj_datatype").isNotNull(),
@@ -695,7 +707,9 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
         # obj_datatype is rendered raw into the rdf:datatype attribute (the
         # escape passes C0 through), so it must be guarded alongside
         # subj/obj \u2014 concat_ws skips nulls, so coalesce is implicit
-        F.concat_ws("", F.col("subj"), F.col("obj"), F.col("obj_datatype")).rlike(illegal),
+        F.concat_ws(
+            "", F.col("subj"), F.col("obj"), F.col("obj_datatype"), F.col("obj_lang")
+        ).rlike(illegal),
         F.raise_error(
             F.concat(
                 F.lit(
@@ -707,7 +721,17 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
         ),
     ).otherwise(line)
     rendered = triples.join(qn, "pred").select(line.alias("value"))
-    xmlns = " ".join(f'xmlns:{pfx}="{ns}"' for ns, pfx in sorted(ns_map.items(), key=lambda kv: kv[1]))
+    def _esc(ns: str) -> str:
+        # namespace URIs land in the xmlns attribute — '&' is common in
+        # URIs and C0/FFFE controls are unrepresentable in XML 1.0
+        if re.search("[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]", ns):
+            raise ValueError(
+                f"XML 1.0 cannot represent C0 control characters in namespace {ns!r}; "
+                "export this graph as N-Triples instead"
+            )
+        return ns.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+
+    xmlns = " ".join(f'xmlns:{pfx}="{_esc(ns)}"' for ns, pfx in sorted(ns_map.items(), key=lambda kv: kv[1]))
     header = ['<?xml version="1.0" encoding="utf-8"?>', f"<rdf:RDF {xmlns}>"]
     footer = "</rdf:RDF>"
 

@@ -435,6 +435,20 @@ def test_rdfxml_writer_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="C0 control"):
         write_rdfxml(ctrl_dt, str(tmp_path / "xml_rt5"))
+    # ... and the xml:lang attribute (rendered escaped, guarded for C0)
+    ctrl_lang = _t.triples_df(
+        spark, [_t.lit_row("http://x/s", "http://x/ns#p", "ok", "", "en\x02")]
+    )
+    with pytest.raises(Exception, match="C0 control"):
+        write_rdfxml(ctrl_lang, str(tmp_path / "xml_rt6"))
+    # ... and namespace URIs with '&' are escaped in the xmlns header
+    amp = _t.triples_df(
+        spark, [_t.iri_row("http://x/s", "http://x/q?a=1&b=2/p", "http://y/o")]
+    )
+    out3 = str(tmp_path / "xml_rt7")
+    write_rdfxml(amp, out3)
+    rt3 = read_rdfxml_dir(spark, out3)
+    assert rt3.count() == 1 and rt3.collect()[0]["pred"] == "http://x/q?a=1&b=2/p"
 
 
 def test_rdfxml_dir_anonymous_bnodes_distinct_across_files(spark, tmp_path):

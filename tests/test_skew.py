@@ -49,8 +49,10 @@ def test_ic12_degenerate_single_key_two_phase(spark):
     dup = v.ic12()
     plan = dup._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, "ic12 must not funnel the hot key through a window partition"
-    # partial (map-side) aggregation must appear before the key shuffle
-    assert "partial_min" in plan or "HashAggregate" in plan, plan
+    # map-side PARTIAL aggregation must appear before the key shuffle —
+    # 'partial_min' specifically, not just any HashAggregate: losing the
+    # partial phase is exactly the skew regression this test pins
+    assert "partial_min" in plan, plan
     t0 = time.time()
     got = dup.count()
     elapsed = time.time() - t0
@@ -79,3 +81,15 @@ def test_exact_duplicates_degenerate_single_fingerprint(spark):
     assert rows["n"] == N_OBS - 1
     assert rows["min_id"] == 1  # doc 0 is the representative, never flagged
     assert rows["n_canon"] == 1
+
+
+def test_exact_duplicates_null_text_group(spark):
+    """md5(NULL) is NULL; null-text docs must still form one duplicate
+    group (the window form's semantics) — a plain equi-join-back would
+    silently drop them."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real"), (4, "real"), (5, "unique")],
+        "doc_id long, text string",
+    )
+    got = {(r["id"], r["canonical_id"]) for r in exact_duplicates(docs).collect()}
+    assert got == {(2, 1), (4, 3)}

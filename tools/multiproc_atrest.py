@@ -34,18 +34,24 @@ CORE_SETS = ["0-7", "8-15", "16-23", "24-31"]
 
 
 def _spawn(worker: str, cores_list: str) -> subprocess.Popen:
-    return subprocess.Popen(
+    # stderr to a FILE, not a pipe: four concurrent JVMs logging into
+    # 64KB pipes drained only after the run would block on write and
+    # inflate the measured walls
+    errf = open(f"/tmp/multiproc_atrest_err_{cores_list}.log", "w")
+    p = subprocess.Popen(
         ["taskset", "-c", cores_list, sys.executable, "-c", worker, "8"],
         stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
+        stderr=errf,
         text=True,
     )
+    p._errpath = errf.name  # type: ignore[attr-defined]
+    return p
 
 
 def _collect(p: subprocess.Popen) -> dict:
-    out, err = p.communicate()
+    out, _ = p.communicate()
     if p.returncode != 0:
-        raise RuntimeError(err[-3000:])
+        raise RuntimeError(open(p._errpath).read()[-3000:])  # type: ignore[attr-defined]
     return json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
 
 
