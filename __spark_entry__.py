@@ -1028,6 +1028,59 @@ def q_kg_turn_order(spark, sf_dir):
     )
 
 
+def q_streaming_ic12(spark, sf_dir):
+    """Incremental IC-12 over a REAL two-micro-batch file stream
+    (streaming/ingest.py::streaming_ic12_dup_check): observations derive
+    from orders (obs = zero-padded orderkey, duplicate key = custkey),
+    split even/odd-orderkey into two files with forced mtime order so the
+    second batch delivers SMALLER obs ids that late-flag batch-1
+    representatives through the applyInPandasWithState state. The
+    CONVERGED flagged set is arrival-order independent — all but the
+    minimum obs per (ds, custkey) — so a plain window oracle checks a
+    genuinely stateful streaming computation."""
+    import atexit
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import (
+        streaming_ic12_dup_check,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit("d1").alias("ds"),
+        F.concat(F.lit("o"), F.lpad(F.col("o_orderkey").cast("string"), 10, "0")).alias("obs"),
+        F.col("o_custkey").cast("string").alias("dim_key"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    src = tempfile.mkdtemp(prefix="nospa_stream_ic12_")
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
+    orders.where(F.col("half") == 0).drop("half").coalesce(1).write.mode("append").parquet(src)
+    first_files = set(_glob.glob(os.path.join(src, "part-*")))
+    orders.where(F.col("half") == 1).drop("half").coalesce(1).write.mode("append").parquet(src)
+    now = _time.time()
+    for f in _glob.glob(os.path.join(src, "part-*")):
+        # force mod-time order: even-orderkey file is micro-batch 1
+        os.utime(f, (now - 100, now - 100) if f in first_files else (now - 50, now - 50))
+    stream = (
+        spark.readStream.schema("ds string, obs string, dim_key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"stream_ic12_{os.getpid()}_{int(_time.time() * 1000) % 1000000}"
+    q = (
+        streaming_ic12_dup_check(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("ds", "dim_key", "obs")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (extract -> link -> canonicalize) over
     transcripts derived from sf0.001 orders."""
@@ -1041,7 +1094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # encoded+bucketed engine since 4cd5b09/c96475d), ann_ivf (new int64
     # oracle, acd3119), and bucketed_cube_ic12 (at-rest StageRunner path) IN.
     # r05: ann_ivf's oracle changed again (CAST SUM AS BIGINT, closing the
-    # r04 HUGEINT-hash finding) so it stays in-window at position 6.
+    # r04 HUGEINT-hash finding) so it stays in-window at position 6;
+    # streaming_ic12 (NEW: stateful applyInPandasWithState incremental
+    # dup check with a convergence oracle) rotates IN at position 7, and
+    # kg_turn_order rotates to the tail (its lag-window family is
+    # re-exercised in-window by events_sessionize; code unchanged in r5).
     # UNGATED tail, explicitly: anti_join/semi_join/set_except/window_top1/
     # count_distinct (generic TPC-ish shapes whose join/window/agg families
     # are re-exercised by the in-window cube_ic* plans — cube_ic4/7 anti,
@@ -1055,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_cube_ic11": q_enc_cube_ic11,
         "enc_cube_ic12": q_enc_cube_ic12,
         "ann_ivf": q_ann_ivf,
+        "streaming_ic12": q_streaming_ic12,
         "path_join": q_path_join,
         "star_join": q_star_join,
         "ic17_group_size": q_ic17_group_size,
@@ -1097,9 +1155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_ic21": q_cube_ic21,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
-        "kg_turn_order": q_kg_turn_order,
         "bucketed_cube_ic12": q_bucketed_cube_ic12,
         # --- UNGATED tail (positions 51+; see ordering rule above) ----------
+        "kg_turn_order": q_kg_turn_order,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "semi_join": q_semi_join,
@@ -1443,6 +1501,21 @@ linked AS (
                    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank
             FROM scored
             QUALIFY rank <= 10
+        """,
+        # converged flagged set of the stateful streaming dup check: all
+        # but the minimum obs per (ds, custkey) — arrival-order
+        # independent, so a window oracle can gate a streaming operator
+        "streaming_ic12": """
+            WITH o AS (
+              SELECT 'd1' AS ds, CAST(o_custkey AS VARCHAR) AS dim_key,
+                     'o' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS obs
+              FROM orders
+            )
+            SELECT ds, dim_key, obs
+            FROM (SELECT ds, dim_key, obs,
+                         min(obs) OVER (PARTITION BY ds, dim_key) AS rep
+                  FROM o)
+            WHERE obs != rep
         """,
         "text_lang": _text_lang_sql(),
         "text_quality": _text_quality_sql(),

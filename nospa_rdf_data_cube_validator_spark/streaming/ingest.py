@@ -250,3 +250,76 @@ def streaming_turn_order_check(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_DUP_STATE = StructType(
+    [
+        StructField("rep", StringType(), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+_DUP_OUT = StructType(
+    [
+        StructField("ds", StringType(), True),
+        StructField("dim_key", StringType(), True),
+        StructField("obs", StringType(), True),
+        StructField("rep", StringType(), True),
+    ]
+)
+
+
+def streaming_ic12_dup_check(stream: DataFrame) -> DataFrame:
+    """Incremental IC-12: flag duplicate observations AS THEY ARRIVE.
+
+    The batch validator (operators/validate.py::ic12) re-scans the cube per
+    run; at continuous-ingestion scale the stream form keeps one tiny state
+    row per (ds, dim_key) — the minimum observation id seen (the
+    representative) and a count — and emits every arriving observation
+    whose key is already claimed. EVENTUAL batch equivalence: when a
+    SMALLER obs id arrives later, the former representative is emitted
+    (late) and the state re-points, so the flagged set converges exactly
+    to the batch rule "all but the minimum obs per (ds, dim-value-set
+    key)"; redelivered micro-batches can re-emit a row (at-least-once —
+    the idempotent batch_id-partitioned sink or a downstream distinct
+    dedupes), but the converged SET is order-independent.
+
+    Input: per-observation rows (ds, obs, dim_key) where dim_key is the
+    same value-set duplicate key the batch path builds (the caller
+    computes it with identical semantics — e.g. sorted distinct dim
+    values joined with a reserved separator)."""
+
+    def check(key, pdfs, state: GroupState):
+        ds, dim_key = key
+        rep, n_seen = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            for obs in sorted(str(x) for x in pdf["obs"]):
+                n_seen += 1
+                if rep is None:
+                    rep = obs
+                elif obs == rep:
+                    # redelivery of the representative itself: one
+                    # observation, not a duplicate of itself
+                    continue
+                elif obs < rep:
+                    # late-arriving smaller id: the former representative
+                    # is, under batch semantics, the duplicate — emit it now
+                    out.append((ds, dim_key, rep, obs))
+                    rep = obs
+                else:
+                    out.append((ds, dim_key, obs, rep))
+        state.update((rep, n_seen))
+        if out:
+            yield pd.DataFrame(out, columns=["ds", "dim_key", "obs", "rep"])
+
+    return (
+        stream.select("ds", "obs", "dim_key")
+        .groupBy("ds", "dim_key")
+        .applyInPandasWithState(
+            check,
+            outputStructType=_DUP_OUT,
+            stateStructType=_DUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

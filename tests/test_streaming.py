@@ -203,3 +203,46 @@ def test_record_stream_stage_folds_lineage_into_manifest(spark, transcript_dir, 
     ).write.mode("append").partitionBy("batch_id").parquet(out)
     with pytest.raises(ValueError, match="lineage"):
         record_stream_stage(spark, wd, "kg_edges_streamed", out, lin)
+
+
+def test_streaming_ic12_dup_check_converges_to_batch(spark, tmp_path):
+    """Incremental IC-12: duplicates are flagged as they arrive, and a
+    SMALLER obs id arriving in a later micro-batch late-flags the former
+    representative — the converged flagged set equals the batch rule
+    (all but the minimum obs per (ds, dim_key)); state carries across
+    micro-batches (mod-time ordered, one file per trigger)."""
+    import time as _time
+
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import (
+        streaming_ic12_dup_check,
+    )
+
+    src = str(tmp_path / "obs_in")
+    schema = "ds string, obs string, dim_key string"
+    spark.createDataFrame(
+        [("d1", "obsB", "K"), ("d1", "obsC", "K"), ("d1", "obsX", "L")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct modTime -> deterministic micro-batch order
+    # batch 2: a smaller id claims key K (former rep obsB must be
+    # late-flagged against the new rep), plus an ordinary dup on L and a
+    # redelivery of obsX (the representative itself — NOT a duplicate)
+    spark.createDataFrame(
+        [("d1", "obsA", "K"), ("d1", "obsY", "L"), ("d1", "obsX", "L")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_ic12_dup_check(stream)
+        .writeStream.format("memory")
+        .queryName("ic12_dups")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["ds"], r["dim_key"], r["obs"], r["rep"]) for r in spark.table("ic12_dups").collect()}
+    flagged = {(ds, k, o) for ds, k, o, _ in rows}
+    # converged set == batch semantics: all but min per (ds, dim_key)
+    assert flagged == {("d1", "K", "obsB"), ("d1", "K", "obsC"), ("d1", "L", "obsY")}
+    assert ("d1", "K", "obsB", "obsA") in rows  # late flag names the new rep
+    assert ("d1", "K", "obsC", "obsB") in rows  # batch-1 flag used the rep of its time
