@@ -749,20 +749,35 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
 
 
 def read_rdfxml_dir(spark: SparkSession, path: str) -> DataFrame:
-    """Read a write_rdfxml output directory (one document per part file)
-    back into a triples DataFrame — the roundtrip twin used by tests."""
-    import glob as _glob
+    """Read a directory of RDF/XML documents (write_rdfxml output, or any
+    harvested one-document-per-file corpus) into a triples DataFrame —
+    DISTRIBUTED: each executor task parses whole files (wholetext rows),
+    so a million-document metadata harvest scales with the cluster
+    instead of the driver. A malformed document fails the job loudly with
+    the parser's error (Jena parity), same as the single-file reader.
 
-    rows: list[tuple] = []
-    for idx, f in enumerate(sorted(_glob.glob(os.path.join(path, "part-*")))):
-        with open(f, encoding="utf-8") as fh:
-            # per-file tag: a fresh parser restarts its anonymous-bnode
-            # counter, so untagged labels (_:x1, _:x2 ...) would wrongly
-            # merge distinct anonymous nodes across part files (general
-            # RDF/XML input; write_rdfxml output always carries nodeID)
-            parser = _RdfXmlParser(bnode_tag=f"f{idx}_")
-            rows.extend(parser.parse(fh.read()))
-    return terms.triples_df(spark, rows)
+    Per-file bnode tag: a fresh parser restarts its anonymous-bnode
+    counter, so untagged labels (_:x1, _:x2 ...) would wrongly merge
+    distinct anonymous nodes across files; the tag is a hash of the file
+    path (deterministic — same input, same labels). Explicit rdf:nodeID
+    labels stay global by definition and still merge across files
+    (write_rdfxml output always carries nodeID)."""
+    import hashlib
+
+    raw = spark.read.text(os.path.join(path, "part-*"), wholetext=True).select(
+        F.input_file_name().alias("src"), "value"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for src, text in zip(pdf["src"], pdf["value"]):
+                tag = hashlib.md5(src.encode()).hexdigest()[:10] + "_"
+                rows = _RdfXmlParser(bnode_tag=tag).parse(text)
+                if rows:
+                    yield pd.DataFrame(rows, columns=terms.TRIPLE_COLS)
+
+    parsed = raw.mapInPandas(gen, schema=terms.TRIPLES_SCHEMA)
+    return parsed.dropDuplicates(["subj", "pred", "obj"])
 
 
 def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
