@@ -268,6 +268,35 @@ _DUP_OUT = StructType(
 )
 
 
+def _dup_step(
+    rep: str | None, n_seen: int, obs_batch
+) -> tuple[str | None, int, list[tuple[str, str]]]:
+    """Pure per-(key, micro-batch) transition of the incremental dup check:
+    fold a batch of observation ids into (representative, count) state and
+    return the (obs, rep_at_emission) rows to flag. Kept side-effect-free
+    so the convergence property — flagged set == all-but-global-min
+    regardless of how arrivals are ordered or batched — is directly
+    property-testable without a streaming harness (hypothesis, see
+    tests/test_streaming.py)."""
+    flagged: list[tuple[str, str]] = []
+    for obs in sorted(obs_batch):
+        n_seen += 1
+        if rep is None:
+            rep = obs
+        elif obs == rep:
+            # redelivery of the representative itself: one observation,
+            # not a duplicate of itself
+            continue
+        elif obs < rep:
+            # late-arriving smaller id: the former representative is,
+            # under batch semantics, the duplicate — emit it now
+            flagged.append((rep, obs))
+            rep = obs
+        else:
+            flagged.append((obs, rep))
+    return rep, n_seen, flagged
+
+
 def streaming_ic12_dup_check(stream: DataFrame) -> DataFrame:
     """Incremental IC-12: flag duplicate observations AS THEY ARRIVE.
 
@@ -293,21 +322,8 @@ def streaming_ic12_dup_check(stream: DataFrame) -> DataFrame:
         rep, n_seen = state.get if state.exists else (None, 0)
         out = []
         for pdf in pdfs:
-            for obs in sorted(str(x) for x in pdf["obs"]):
-                n_seen += 1
-                if rep is None:
-                    rep = obs
-                elif obs == rep:
-                    # redelivery of the representative itself: one
-                    # observation, not a duplicate of itself
-                    continue
-                elif obs < rep:
-                    # late-arriving smaller id: the former representative
-                    # is, under batch semantics, the duplicate — emit it now
-                    out.append((ds, dim_key, rep, obs))
-                    rep = obs
-                else:
-                    out.append((ds, dim_key, obs, rep))
+            rep, n_seen, flagged = _dup_step(rep, n_seen, (str(x) for x in pdf["obs"]))
+            out.extend((ds, dim_key, obs, r) for obs, r in flagged)
         state.update((rep, n_seen))
         if out:
             yield pd.DataFrame(out, columns=["ds", "dim_key", "obs", "rep"])

@@ -246,3 +246,37 @@ def test_streaming_ic12_dup_check_converges_to_batch(spark, tmp_path):
     assert flagged == {("d1", "K", "obsB"), ("d1", "K", "obsC"), ("d1", "L", "obsY")}
     assert ("d1", "K", "obsB", "obsA") in rows  # late flag names the new rep
     assert ("d1", "K", "obsC", "obsB") in rows  # batch-1 flag used the rep of its time
+
+
+def test_dup_step_convergence_property():
+    """Hypothesis: for ANY multiset of obs ids in ANY batching/order, the
+    incremental kernel's flagged SET equals the batch rule (every distinct
+    obs except the global minimum), the final representative is the global
+    minimum, and the count sees every arrival. Pure-python kernel — no
+    streaming harness needed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import _dup_step
+
+    obs_ids = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.lists(obs_ids, min_size=0, max_size=6), min_size=0, max_size=6)
+    )
+    def run(batches):
+        rep, n_seen = None, 0
+        flagged = set()
+        for batch in batches:
+            rep, n_seen, out = _dup_step(rep, n_seen, batch)
+            flagged |= {obs for obs, _ in out}
+        all_obs = {o for b in batches for o in b}
+        if all_obs:
+            assert rep == min(all_obs)
+            assert flagged == all_obs - {min(all_obs)}
+        else:
+            assert rep is None and flagged == set()
+        assert n_seen == sum(len(b) for b in batches)
+
+    run()
