@@ -4,6 +4,7 @@ Usage:
   spark-submit --py-files engine.zip main.py validate <cube.{ttl,nt,parquet}> [--report DIR]
   spark-submit --py-files engine.zip main.py pipeline <transcripts.parquet> <workdir> [--report DIR]
   spark-submit --py-files engine.zip main.py export <cube.{ttl,nt,xml,parquet}> <out> [--format nt|ttl|xml|parquet] [--normalize]
+  spark-submit --py-files engine.zip main.py stream-dups <obs_dir> <out_dir> --checkpoint DIR [--once]
 
 ``validate`` mirrors the reference CLI (Main.java:21-58): load an RDF cube,
 normalize, run all 21 integrity constraints, write validation_result_<ts>.md.
@@ -107,6 +108,39 @@ def cmd_export(spark, args) -> int:
     return 0
 
 
+def cmd_stream_dups(spark, args) -> int:
+    """Continuous IC-12: watch a directory of observation parquet
+    (ds, obs, dim_key) and append flagged duplicates to an output parquet
+    dir, checkpointed — the validate-as-you-ingest deployment mode (the
+    reference re-parses and re-validates the whole cube per run;
+    streaming/ingest.py::streaming_ic12_dup_check keeps one state row per
+    key and the flagged set converges to the batch rule)."""
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import (
+        streaming_ic12_dup_check,
+    )
+
+    stream = (
+        spark.readStream.schema("ds string, obs string, dim_key string")
+        .option("maxFilesPerTrigger", args.max_files)
+        .parquet(args.input)
+    )
+    writer = (
+        streaming_ic12_dup_check(stream)
+        .writeStream.format("parquet")
+        .option("path", args.output)
+        .option("checkpointLocation", args.checkpoint)
+        .outputMode("append")
+    )
+    if args.once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        n = spark.read.parquet(args.output).count()
+        print(f"flagged {n} duplicate observations into {args.output}")
+    else:
+        writer.start().awaitTermination()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(prog="nospa-cube-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -148,11 +182,27 @@ def main() -> int:
     e.add_argument(
         "--normalize", action="store_true", help="apply N1-N5 before exporting"
     )
+    sd = sub.add_parser(
+        "stream-dups",
+        help="continuous IC-12 over an observation stream (applyInPandasWithState)",
+    )
+    sd.add_argument("input", help="directory of (ds, obs, dim_key) parquet files to watch")
+    sd.add_argument("output", help="parquet dir receiving flagged duplicates")
+    sd.add_argument("--checkpoint", required=True)
+    sd.add_argument("--max-files", type=int, default=16, dest="max_files")
+    sd.add_argument(
+        "--once",
+        action="store_true",
+        help="process currently-available files and exit (availableNow trigger)",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name=f"nospa-{args.cmd}")
-    return {"validate": cmd_validate, "pipeline": cmd_pipeline, "export": cmd_export}[
-        args.cmd
-    ](spark, args)
+    return {
+        "validate": cmd_validate,
+        "pipeline": cmd_pipeline,
+        "export": cmd_export,
+        "stream-dups": cmd_stream_dups,
+    }[args.cmd](spark, args)
 
 
 if __name__ == "__main__":

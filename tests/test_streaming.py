@@ -280,3 +280,24 @@ def test_dup_step_convergence_property():
         assert n_seen == sum(len(b) for b in batches)
 
     run()
+
+
+def test_cli_stream_dups_once(spark, tmp_path):
+    """CLI stream-dups --once: watch, flag, checkpoint; a second run over
+    the same dir (same checkpoint) processes nothing new and the output
+    parquet keeps exactly the converged flagged set."""
+    import argparse
+
+    import main as cli
+
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [("d", "o2", "K"), ("d", "o1", "K"), ("d", "o3", "L")],
+        "ds string, obs string, dim_key string",
+    ).coalesce(1).write.parquet(src)
+    args = argparse.Namespace(input=src, output=out, checkpoint=ck, max_files=1, once=True)
+    assert cli.cmd_stream_dups(spark, args) == 0
+    rows = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert rows == {("d", "K", "o2", "o1")}
+    assert cli.cmd_stream_dups(spark, args) == 0  # idempotent resume
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == rows
