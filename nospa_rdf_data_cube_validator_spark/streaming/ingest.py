@@ -315,7 +315,14 @@ def streaming_ic12_dup_check(stream: DataFrame) -> DataFrame:
     Input: per-observation rows (ds, obs, dim_key) where dim_key is the
     same value-set duplicate key the batch path builds (the caller
     computes it with identical semantics — e.g. sorted distinct dim
-    values joined with a reserved separator)."""
+    values joined with a reserved separator).
+
+    Deployment note: state is one (rep, count) row per key; at
+    100 TB key cardinality back it with the RocksDB provider
+    (``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``)
+    so state spills to local disk instead of the executor heap — the
+    operator itself is provider-agnostic."""
 
     def check(key, pdfs, state: GroupState):
         ds, dim_key = key

@@ -72,11 +72,33 @@ def main() -> None:
         )
         if out.returncode != 0:
             raise RuntimeError(out.stderr[-3000:])
-    worker = WORKER.format(**fmt)
+    # SPARK_ATREST_PRIVATE_COPIES=1: give each quad worker its OWN copy of
+    # the workdir+warehouse — a controlled experiment separating shared-file
+    # /page-cache contention from shared-memory-bus contention (the bus
+    # stays shared either way; unchanged quad walls with private copies
+    # confirm the bus as the binding resource)
+    private = os.environ.get("SPARK_ATREST_PRIVATE_COPIES") == "1"
+    import shutil
+
+    worker_scripts = []
+    for i in range(len(CORE_SETS)):
+        wd_i = workdir
+        if private and i > 0:
+            wd_i = f"{workdir}_copy{i}"
+            if not os.path.exists(wd_i):
+                shutil.copytree(workdir, wd_i)
+        worker_scripts.append(
+            WORKER.format(repo=REPO, workdir=wd_i,
+                          warehouse=os.path.join(wd_i, "warehouse"),
+                          n_convs=n_convs)
+        )
     l1p, _ = _load()
-    solo = _collect(_spawn(worker, CORE_SETS[0]))
+    solo = _collect(_spawn(worker_scripts[0], CORE_SETS[0]))
     l1b, _ = _load()
-    quad = [_collect(p) for p in [_spawn(worker, cs) for cs in CORE_SETS]]
+    quad = [
+        _collect(p)
+        for p in [_spawn(w, cs) for w, cs in zip(worker_scripts, CORE_SETS)]
+    ]
     l1c, _ = _load()
     for q in quad:
         if q["violations"] != solo["violations"]:
@@ -86,6 +108,7 @@ def main() -> None:
     obs = {
         "multiproc_atrest": {
             "n_convs": n_convs,
+            "private_copies": private,
             "loads": {"before": l1, "after_prep": l1p, "mid": l1b, "after": l1c},
             "solo": solo,
             "quad": quad,
