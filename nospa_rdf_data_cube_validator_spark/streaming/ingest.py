@@ -346,3 +346,22 @@ def streaming_ic12_dup_check(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ic11_missing_dims(stream: DataFrame, ds_dims: DataFrame) -> DataFrame:
+    """Incremental IC-11: flag observations missing declared dimensions AS
+    THEY ARRIVE. Stateless — dimension completeness is decidable per
+    observation given the (metadata-scale, broadcast) declared-dims table
+    (ds, dims array<string>), so the same plan serves batch and stream:
+    arriving rows (ds, obs, dims_present array<string>) join the broadcast
+    and explode the array_except. The companion to streaming_ic12's
+    stateful check: together they put the reference's fused IC-11/12 hot
+    path (ValidatorIC11_12.java:61-85) on a continuous-ingestion footing."""
+    return (
+        stream.join(F.broadcast(ds_dims), "ds")
+        .select(
+            "ds",
+            "obs",
+            F.explode(F.array_except("dims", "dims_present")).alias("dim"),
+        )
+    )

@@ -301,3 +301,32 @@ def test_cli_stream_dups_once(spark, tmp_path):
     assert rows == {("d", "K", "o2", "o1")}
     assert cli.cmd_stream_dups(spark, args) == 0  # idempotent resume
     assert {tuple(r) for r in spark.read.parquet(out).collect()} == rows
+
+
+def test_streaming_ic11_missing_dims(spark, tmp_path):
+    """Stateless streaming IC-11: per-arrival missing-dimension flags match
+    the batch array_except rule."""
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import (
+        streaming_ic11_missing_dims,
+    )
+
+    src = str(tmp_path / "obs11")
+    schema = "ds string, obs string, dims_present array<string>"
+    spark.createDataFrame(
+        [("d1", "o1", ["a", "b"]), ("d1", "o2", ["a"]), ("d2", "o3", [])], schema
+    ).coalesce(1).write.parquet(src)
+    ds_dims = spark.createDataFrame(
+        [("d1", ["a", "b"]), ("d2", ["c"])], "ds string, dims array<string>"
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_ic11_missing_dims(stream, ds_dims)
+        .writeStream.format("memory")
+        .queryName("ic11_missing")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["ds"], r["obs"], r["dim"]) for r in spark.table("ic11_missing").collect()}
+    assert got == {("d1", "o2", "b"), ("d2", "o3", "c")}
