@@ -1,7 +1,7 @@
 """Randomized semantic cross-check: many small random cubes (one per
 dataset, all unioned into ONE store so a single validator run covers them)
-with IC-11/IC-12 results compared against an independent 30-line
-pure-Python model of the documented semantics:
+with IC-11/12/13/14 results compared against an independent pure-Python
+model of the documented semantics:
 
 - per (obs, dim) the engine picks the MINIMUM value (our deterministic
   stand-in for the reference's HashSet-iteration first-wins,
@@ -10,11 +10,16 @@ pure-Python model of the documented semantics:
 - IC-12's duplicate key is the SORTED SET of chosen dim values
   (value-set collapse quirk, ValidatorIC11_12.java:70-80) over COMPLETE
   observations only, flagging all but the minimum obs per (ds, key);
-- zero-dim datasets make every complete obs share the empty key.
+- zero-dim datasets make every complete obs share the empty key;
+- IC-13 expects, per obs, every prop of a spec carrying
+  qb:componentRequired true (whatever the prop's kind — dims included);
+- IC-14 expects every component prop typed qb:MeasureProperty; for
+  measureType cubes the NoSPA quirk expects the UNFILTERED component
+  set (ValidatorIC14.java:30-35).
 
 Catches semantic drift the per-IC mutation fixtures (one seeded violation
-each) cannot: crossed values, multi-valued dims, obs in several datasets,
-dim values shared across obs, empty declarations.
+each) cannot: crossed values, multi-valued dims, required dims, attrs on
+some obs only, measureType interaction.
 """
 
 import random
@@ -22,7 +27,7 @@ import random
 from nospa_rdf_data_cube_validator_spark import qb
 from nospa_rdf_data_cube_validator_spark.operators.validate import CubeValidator
 from nospa_rdf_data_cube_validator_spark.plans.algebra import TripleStore
-from nospa_rdf_data_cube_validator_spark.terms import iri_row, triples_df
+from nospa_rdf_data_cube_validator_spark.terms import iri_row, lit_row, triples_df
 
 EG = "http://example.org/rand#"
 
@@ -31,64 +36,91 @@ def _random_cube(rng: random.Random, tag: str):
     """Rows + model-side description of one random cube."""
     ds = f"{EG}ds{tag}"
     dsd = f"{EG}dsd{tag}"
-    n_dims = rng.randint(0, 3)
-    dims = [f"{EG}dim{tag}_{i}" for i in range(n_dims)]
     rows = [iri_row(ds, qb.QB_STRUCTURE, dsd)]
-    for i, d in enumerate(dims):
+
+    dims = [f"{EG}dim{tag}_{i}" for i in range(rng.randint(0, 3))]
+    attrs = [f"{EG}att{tag}_{i}" for i in range(rng.randint(0, 2))]
+    meas = [f"{EG}mea{tag}_{i}" for i in range(rng.randint(0, 2))]
+    measure_type = rng.random() < 0.3
+
+    comp_props = dims + attrs + meas + ([qb.QB_MEASURE_TYPE] if measure_type else [])
+    required: set[str] = set()
+    for i, p in enumerate(comp_props):
         spec = f"{EG}spec{tag}_{i}"
         rows.append(iri_row(dsd, qb.QB_COMPONENT, spec))
-        rows.append(iri_row(spec, qb.QB_COMPONENT_PROPERTY, d))
+        rows.append(iri_row(spec, qb.QB_COMPONENT_PROPERTY, p))
+        if rng.random() < 0.3:
+            rows.append(lit_row(spec, qb.QB_COMPONENT_REQUIRED, "true", qb.XSD_BOOLEAN))
+            required.add(p)
+    for d in dims:
         rows.append(iri_row(d, qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY))
-    obs_dims: dict[str, dict[str, list[str]]] = {}
+    for a in attrs:
+        rows.append(iri_row(a, qb.RDF_TYPE, qb.QB_ATTRIBUTE_PROPERTY))
+    for m in meas:
+        rows.append(iri_row(m, qb.RDF_TYPE, qb.QB_MEASURE_PROPERTY))
+
+    obs_props: dict[str, dict[str, list[str]]] = {}
     values = [f"{EG}v{j}" for j in range(4)]
     for o in range(rng.randint(2, 8)):
         obs = f"{EG}obs{tag}_{o}"
         rows.append(iri_row(obs, qb.QB_DATASET_PROP, ds))
-        per_dim: dict[str, list[str]] = {}
-        for d in dims:
-            if rng.random() < 0.8:  # 20%: dim missing -> IC-11
+        per_prop: dict[str, list[str]] = {}
+        for p in comp_props:
+            if rng.random() < 0.8:  # 20%: prop absent on this obs
                 vals = rng.sample(values, rng.randint(1, 2))  # sometimes multi-valued
-                per_dim[d] = vals
+                per_prop[p] = vals
                 for v in vals:
-                    rows.append(iri_row(obs, d, v))
-        obs_dims[obs] = per_dim
-    return ds, dims, obs_dims, rows
+                    rows.append(iri_row(obs, p, v))
+        obs_props[obs] = per_prop
+    return dict(
+        ds=ds, dims=dims, meas=meas, required=required,
+        comp_props=comp_props, measure_type=measure_type,
+        obs_props=obs_props, rows=rows,
+    )
 
 
-def _model(ds, dims, obs_dims):
-    """Independent python implementation of the documented IC-11/12 rule."""
-    ic11 = set()
+def _model(cube):
+    """Independent python implementation of the documented IC-11..14 rules."""
+    ic11, ic12, ic13, ic14 = set(), set(), set(), set()
     complete = {}
-    for obs, per_dim in obs_dims.items():
-        missing = [d for d in dims if d not in per_dim]
-        for d in missing:
+    for obs, per_prop in cube["obs_props"].items():
+        missing_dims = [d for d in cube["dims"] if d not in per_prop]
+        for d in missing_dims:
             ic11.add((obs, d))
-        if not missing:
-            chosen = [min(vals) for vals in per_dim.values()]
+        if not missing_dims:
+            chosen = [min(per_prop[d]) for d in cube["dims"]]
             complete[obs] = tuple(sorted(set(chosen)))
-    ic12 = set()
+        for p in cube["required"]:
+            if p not in per_prop:
+                ic13.add((obs, p))
+        expected14 = cube["comp_props"] if cube["measure_type"] else cube["meas"]
+        for p in expected14:
+            if p not in per_prop:
+                ic14.add((obs, p))
     by_key: dict[tuple, list[str]] = {}
     for obs, key in complete.items():
         by_key.setdefault(key, []).append(obs)
-    for key, members in by_key.items():
-        for obs in members:
-            if obs != min(members):
-                ic12.add(obs)
-    return ic11, ic12
+    for members in by_key.values():
+        ic12.update(o for o in members if o != min(members))
+    return ic11, ic12, ic13, ic14
 
 
-def test_random_cubes_ic11_ic12_match_python_model(spark):
+def test_random_cubes_ic11_to_ic14_match_python_model(spark):
     rng = random.Random(20260817)
-    all_rows, exp11, exp12 = [], set(), set()
+    all_rows = []
+    exp = [set(), set(), set(), set()]
     for t in range(30):
-        ds, dims, obs_dims, rows = _random_cube(rng, str(t))
-        all_rows.extend(rows)
-        m11, m12 = _model(ds, dims, obs_dims)
-        exp11 |= m11
-        exp12 |= m12
+        cube = _random_cube(rng, str(t))
+        all_rows.extend(cube["rows"])
+        for acc, got in zip(exp, _model(cube)):
+            acc |= got
     v = CubeValidator(TripleStore(triples_df(spark, all_rows)))
     got11 = {(r["obs"], r["dim"]) for r in v.ic11().collect()}
     got12 = {r["obs"] for r in v.ic12().collect()}
+    got13 = {(r["obs"], r["attr"]) for r in v.ic13().collect()}
+    got14 = {(r["obs"], r["measure"]) for r in v.ic14().collect()}
     v.unpersist()
-    assert got11 == exp11
-    assert got12 == exp12
+    assert got11 == exp[0]
+    assert got12 == {o for o in exp[1]}
+    assert got13 == exp[2]
+    assert got14 == exp[3]
