@@ -1077,7 +1077,9 @@ def q_streaming_ic12(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_ic12 gate query did not finish in 300s")
     return spark.table(name).select("ds", "dim_key", "obs")
 
 

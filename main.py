@@ -134,7 +134,10 @@ def cmd_stream_dups(spark, args) -> int:
     if args.once:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-        n = spark.read.parquet(args.output).count()
+        try:
+            n = spark.read.parquet(args.output).count()
+        except Exception:  # zero flagged rows -> sink holds only _spark_metadata
+            n = 0
         print(f"flagged {n} duplicate observations into {args.output}")
     else:
         writer.start().awaitTermination()

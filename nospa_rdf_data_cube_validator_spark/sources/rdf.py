@@ -748,30 +748,36 @@ def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None
     out.write.mode(mode).text(path)
 
 
-def read_rdfxml_dir(spark: SparkSession, path: str) -> DataFrame:
-    """Read a directory of RDF/XML documents (write_rdfxml output, or any
-    harvested one-document-per-file corpus) into a triples DataFrame —
-    DISTRIBUTED: each executor task parses whole files (wholetext rows),
-    so a million-document metadata harvest scales with the cluster
-    instead of the driver. A malformed document fails the job loudly with
-    the parser's error (Jena parity), same as the single-file reader.
+def read_rdfxml_dir(spark: SparkSession, path: str, glob: str = "part-*") -> DataFrame:
+    """Read a directory of RDF/XML documents (write_rdfxml output by
+    default; pass ``glob`` — e.g. ``"*.rdf"`` — for harvested
+    one-document-per-file corpora with other naming) into a triples
+    DataFrame — DISTRIBUTED: each executor task parses whole files
+    (wholetext rows), so a million-document metadata harvest scales with
+    the cluster instead of the driver. A malformed document fails the job
+    loudly with the parser's error (Jena parity), same as the single-file
+    reader; a directory with no matching files yields an empty frame.
 
     Per-file bnode tag: a fresh parser restarts its anonymous-bnode
     counter, so untagged labels (_:x1, _:x2 ...) would wrongly merge
-    distinct anonymous nodes across files; the tag is a hash of the file
-    path (deterministic — same input, same labels). Explicit rdf:nodeID
-    labels stay global by definition and still merge across files
-    (write_rdfxml output always carries nodeID)."""
+    distinct anonymous nodes across files; the tag is the FULL 128-bit
+    md5 of the file path (deterministic — same input, same labels; a
+    truncated tag would birthday-collide at million-file scale).
+    Explicit rdf:nodeID labels stay global by definition and still merge
+    across files (write_rdfxml output always carries nodeID)."""
+    import glob as _glob
     import hashlib
 
-    raw = spark.read.text(os.path.join(path, "part-*"), wholetext=True).select(
+    if not _glob.glob(os.path.join(path, glob)):
+        return spark.createDataFrame([], terms.TRIPLES_SCHEMA)
+    raw = spark.read.text(os.path.join(path, glob), wholetext=True).select(
         F.input_file_name().alias("src"), "value"
     )
 
     def gen(batches):
         for pdf in batches:
             for src, text in zip(pdf["src"], pdf["value"]):
-                tag = hashlib.md5(src.encode()).hexdigest()[:10] + "_"
+                tag = hashlib.md5(src.encode()).hexdigest() + "_"
                 rows = _RdfXmlParser(bnode_tag=tag).parse(text)
                 if rows:
                     yield pd.DataFrame(rows, columns=terms.TRIPLE_COLS)

@@ -898,3 +898,24 @@ def test_run_table_survives_new_session(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert rows1 in r2.stdout, r2.stdout
     assert "NOEXCHANGE True" in r2.stdout, r2.stdout
+
+
+def test_rdfxml_dir_empty_and_custom_glob(spark, tmp_path):
+    """An empty directory yields an empty frame (not AnalysisException), and
+    the glob parameter picks up harvested corpora not named part-*."""
+    from nospa_rdf_data_cube_validator_spark.sources.rdf import read_rdfxml_dir
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert read_rdfxml_dir(spark, str(empty)).count() == 0
+    doc = (
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:eg="http://example.org/ns#">'
+        '<rdf:Description rdf:about="http://example.org/s">'
+        "<eg:p>v</eg:p></rdf:Description></rdf:RDF>"
+    )
+    d = tmp_path / "harvest"
+    d.mkdir()
+    (d / "record-0001.rdf").write_text(doc)
+    assert read_rdfxml_dir(spark, str(d), glob="*.rdf").count() == 1

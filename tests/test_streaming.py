@@ -330,3 +330,18 @@ def test_streaming_ic11_missing_dims(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["ds"], r["obs"], r["dim"]) for r in spark.table("ic11_missing").collect()}
     assert got == {("d1", "o2", "b"), ("d2", "o3", "c")}
+
+
+def test_cli_stream_dups_zero_flagged(spark, tmp_path):
+    """A clean input (no duplicate keys) must exit 0 and report 0, not
+    crash on the schema-less parquet sink dir."""
+    import argparse
+
+    import main as cli
+
+    src, out, ck = str(tmp_path / "src0"), str(tmp_path / "out0"), str(tmp_path / "ck0")
+    spark.createDataFrame(
+        [("d", "o1", "K"), ("d", "o2", "L")], "ds string, obs string, dim_key string"
+    ).coalesce(1).write.parquet(src)
+    args = argparse.Namespace(input=src, output=out, checkpoint=ck, max_files=1, once=True)
+    assert cli.cmd_stream_dups(spark, args) == 0

@@ -87,6 +87,16 @@ def main() -> None:
             wd_i = f"{workdir}_copy{i}"
             if not os.path.exists(wd_i):
                 shutil.copytree(workdir, wd_i)
+                # the manifest records ABSOLUTE snapshot/table locations;
+                # left as-is the copy would re-register its bucketed table
+                # over the ORIGINAL warehouse files and the isolation would
+                # be fictional (round-5 review finding) — repoint every
+                # path into the copy
+                mp = os.path.join(wd_i, "_MANIFEST.json")
+                with open(mp) as fh:
+                    manifest_txt = fh.read()
+                with open(mp, "w") as fh:
+                    fh.write(manifest_txt.replace(workdir, wd_i))
         worker_scripts.append(
             WORKER.format(repo=REPO, workdir=wd_i,
                           warehouse=os.path.join(wd_i, "warehouse"),
