@@ -15,7 +15,11 @@ model of the documented semantics:
   qb:componentRequired true (whatever the prop's kind — dims included);
 - IC-14 expects every component prop typed qb:MeasureProperty; for
   measureType cubes the NoSPA quirk expects the UNFILTERED component
-  set (ValidatorIC14.java:30-35).
+  set (ValidatorIC14.java:30-35);
+- IC-15/16 split per the reference (NospaValidator.java:339-347): an
+  observation in a measureType cube with EXACTLY ONE qb:measureType
+  value whose measure is undeclared or valued != 1 times -> IC-15;
+  zero or multiple measureType values -> IC-16.
 
 Catches semantic drift the per-IC mutation fixtures (one seeded violation
 each) cannot: crossed values, multi-valued dims, required dims, attrs on
@@ -67,7 +71,14 @@ def _random_cube(rng: random.Random, tag: str):
         per_prop: dict[str, list[str]] = {}
         for p in comp_props:
             if rng.random() < 0.8:  # 20%: prop absent on this obs
-                vals = rng.sample(values, rng.randint(1, 2))  # sometimes multi-valued
+                if p == qb.QB_MEASURE_TYPE:
+                    # measureType values point at measures (sometimes a
+                    # bogus undeclared one) so IC-15's declared/valued
+                    # branches and IC-16's cardinality branch all fire
+                    pool = meas + [f"{EG}bogus{tag}"]
+                    vals = rng.sample(pool, rng.randint(1, min(2, len(pool))))
+                else:
+                    vals = rng.sample(values, rng.randint(1, 2))  # sometimes multi-valued
                 per_prop[p] = vals
                 for v in vals:
                     rows.append(iri_row(obs, p, v))
@@ -80,8 +91,8 @@ def _random_cube(rng: random.Random, tag: str):
 
 
 def _model(cube):
-    """Independent python implementation of the documented IC-11..14 rules."""
-    ic11, ic12, ic13, ic14 = set(), set(), set(), set()
+    """Independent python implementation of the documented IC-11..16 rules."""
+    ic11, ic12, ic13, ic14, ic15, ic16 = set(), set(), set(), set(), set(), set()
     complete = {}
     for obs, per_prop in cube["obs_props"].items():
         missing_dims = [d for d in cube["dims"] if d not in per_prop]
@@ -97,18 +108,27 @@ def _model(cube):
         for p in expected14:
             if p not in per_prop:
                 ic14.add((obs, p))
+        if cube["measure_type"]:
+            mts = tuple(sorted(set(per_prop.get(qb.QB_MEASURE_TYPE, []))))
+            if len(mts) == 1:
+                mt = mts[0]
+                n_vals = len(set(per_prop.get(mt, [])))
+                if mt not in cube["meas"] or n_vals != 1:
+                    ic15.add((obs, mts))
+            else:
+                ic16.add((obs, mts))
     by_key: dict[tuple, list[str]] = {}
     for obs, key in complete.items():
         by_key.setdefault(key, []).append(obs)
     for members in by_key.values():
         ic12.update(o for o in members if o != min(members))
-    return ic11, ic12, ic13, ic14
+    return ic11, ic12, ic13, ic14, ic15, ic16
 
 
-def test_random_cubes_ic11_to_ic14_match_python_model(spark):
+def test_random_cubes_ic11_to_ic16_match_python_model(spark):
     rng = random.Random(20260817)
     all_rows = []
-    exp = [set(), set(), set(), set()]
+    exp = [set() for _ in range(6)]
     for t in range(30):
         cube = _random_cube(rng, str(t))
         all_rows.extend(cube["rows"])
@@ -119,8 +139,12 @@ def test_random_cubes_ic11_to_ic14_match_python_model(spark):
     got12 = {r["obs"] for r in v.ic12().collect()}
     got13 = {(r["obs"], r["attr"]) for r in v.ic13().collect()}
     got14 = {(r["obs"], r["measure"]) for r in v.ic14().collect()}
+    got15 = {(r["obs"], tuple(r["measure_types"])) for r in v.ic15().collect()}
+    got16 = {(r["obs"], tuple(r["measure_types"])) for r in v.ic16().collect()}
     v.unpersist()
     assert got11 == exp[0]
     assert got12 == {o for o in exp[1]}
     assert got13 == exp[2]
     assert got14 == exp[3]
+    assert got15 == exp[4]
+    assert got16 == exp[5]
