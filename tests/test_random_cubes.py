@@ -19,7 +19,12 @@ model of the documented semantics:
 - IC-15/16 split per the reference (NospaValidator.java:339-347): an
   observation in a measureType cube with EXACTLY ONE qb:measureType
   value whose measure is undeclared or valued != 1 times -> IC-15;
-  zero or multiple measureType values -> IC-16.
+  zero or multiple measureType values -> IC-16;
+- IC-17 (ValidatorIC17.java:24-96): over observations CARRYING
+  qb:measureType, pairwise skip-aware dim-vector equality (a dim where
+  either side lacks exactly one value is skipped); violation iff the
+  self-inclusive equal-count != #declared measures, reported as
+  (obs, n_unequal = |scope| - equal-count).
 
 Catches semantic drift the per-IC mutation fixtures (one seeded violation
 each) cannot: crossed values, multi-valued dims, required dims, attrs on
@@ -91,8 +96,8 @@ def _random_cube(rng: random.Random, tag: str):
 
 
 def _model(cube):
-    """Independent python implementation of the documented IC-11..16 rules."""
-    ic11, ic12, ic13, ic14, ic15, ic16 = set(), set(), set(), set(), set(), set()
+    """Independent python implementation of the documented IC-11..17 rules."""
+    ic11, ic12, ic13, ic14, ic15, ic16, ic17 = (set() for _ in range(7))
     complete = {}
     for obs, per_prop in cube["obs_props"].items():
         missing_dims = [d for d in cube["dims"] if d not in per_prop]
@@ -122,13 +127,33 @@ def _model(cube):
         by_key.setdefault(key, []).append(obs)
     for members in by_key.values():
         ic12.update(o for o in members if o != min(members))
-    return ic11, ic12, ic13, ic14, ic15, ic16
+    # IC-17: skip-aware pairwise vector equality over mt-carrying obs
+    scope = {
+        obs: {
+            d: (per_prop[d][0] if len(per_prop.get(d, [])) == 1 else None)
+            for d in cube["dims"]
+        }
+        for obs, per_prop in cube["obs_props"].items()
+        if qb.QB_MEASURE_TYPE in per_prop
+    }
+
+    def _compat(v1, v2):
+        return all(
+            v1[d] is None or v2[d] is None or v1[d] == v2[d] for d in cube["dims"]
+        )
+
+    n_meas = len(set(cube["meas"]))
+    for obs1, v1 in scope.items():
+        eq = sum(1 for v2 in scope.values() if _compat(v1, v2))
+        if eq != n_meas:
+            ic17.add((obs1, len(scope) - eq))
+    return ic11, ic12, ic13, ic14, ic15, ic16, ic17
 
 
-def test_random_cubes_ic11_to_ic16_match_python_model(spark):
+def test_random_cubes_ic11_to_ic17_match_python_model(spark):
     rng = random.Random(20260817)
     all_rows = []
-    exp = [set() for _ in range(6)]
+    exp = [set() for _ in range(7)]
     for t in range(30):
         cube = _random_cube(rng, str(t))
         all_rows.extend(cube["rows"])
@@ -141,6 +166,7 @@ def test_random_cubes_ic11_to_ic16_match_python_model(spark):
     got14 = {(r["obs"], r["measure"]) for r in v.ic14().collect()}
     got15 = {(r["obs"], tuple(r["measure_types"])) for r in v.ic15().collect()}
     got16 = {(r["obs"], tuple(r["measure_types"])) for r in v.ic16().collect()}
+    got17 = {(r["obs"], r["n_unequal"]) for r in v.ic17().collect()}
     v.unpersist()
     assert got11 == exp[0]
     assert got12 == {o for o in exp[1]}
@@ -148,3 +174,4 @@ def test_random_cubes_ic11_to_ic16_match_python_model(spark):
     assert got14 == exp[3]
     assert got15 == exp[4]
     assert got16 == exp[5]
+    assert got17 == exp[6]
