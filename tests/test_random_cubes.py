@@ -175,3 +175,75 @@ def test_random_cubes_ic11_to_ic17_match_python_model(spark):
     assert got15 == exp[4]
     assert got16 == exp[5]
     assert got17 == exp[6]
+
+
+def _model_strict(cube):
+    """Independent model of the STRICT (official W3C SPARQL) readings that
+    differ from NoSPA: IC-12 keys by the full (dim, value) pairing; IC-14
+    skips measureType cubes and expects declared measures only; IC-15
+    demands a value for EVERY measureType binding; IC-16 flags a binding
+    when any OTHER declared measure is valued; IC-17 gives dirty
+    observations an equal-count of zero."""
+    ic12, ic14, ic15, ic16, ic17 = (set() for _ in range(5))
+    complete = {}
+    for obs, per_prop in cube["obs_props"].items():
+        if all(d in per_prop for d in cube["dims"]):
+            complete[obs] = tuple(
+                sorted((d, min(per_prop[d])) for d in cube["dims"])
+            )
+        if not cube["measure_type"]:
+            for p in cube["meas"]:
+                if p not in per_prop:
+                    ic14.add((obs, p))
+        if cube["measure_type"]:
+            mts = sorted(set(per_prop.get(qb.QB_MEASURE_TYPE, [])))
+            for m in mts:
+                if not per_prop.get(m):
+                    ic15.add((obs, m))
+                if any(om in per_prop for om in cube["meas"] if om != m):
+                    ic16.add((obs, m))
+    by_key = {}
+    for obs, key in complete.items():
+        by_key.setdefault(key, []).append(obs)
+    for members in by_key.values():
+        ic12.update(o for o in members if o != min(members))
+    scope = {
+        obs: tuple(
+            per_prop[d][0] if len(per_prop.get(d, [])) == 1 else None
+            for d in cube["dims"]
+        )
+        for obs, per_prop in cube["obs_props"].items()
+        if qb.QB_MEASURE_TYPE in per_prop
+    }
+    n_meas = len(set(cube["meas"]))
+    vec_counts = {}
+    for v in scope.values():
+        vec_counts[v] = vec_counts.get(v, 0) + 1
+    for obs, v in scope.items():
+        grp = 0 if None in v else vec_counts[v]
+        if grp != n_meas:
+            ic17.add((obs, len(scope) - grp))
+    return ic12, ic14, ic15, ic16, ic17
+
+
+def test_random_cubes_strict_mode_matches_python_model(spark):
+    rng = random.Random(20260818)
+    all_rows = []
+    exp = [set() for _ in range(5)]
+    for t in range(30):
+        cube = _random_cube(rng, str(t))
+        all_rows.extend(cube["rows"])
+        for acc, got in zip(exp, _model_strict(cube)):
+            acc |= got
+    v = CubeValidator(TripleStore(triples_df(spark, all_rows)), strict_w3c=True)
+    got12 = {r["obs"] for r in v.ic12().collect()}
+    got14 = {(r["obs"], r["measure"]) for r in v.ic14().collect()}
+    got15 = {(r["obs"], r["measure"]) for r in v.ic15().collect()}
+    got16 = {(r["obs"], r["measure"]) for r in v.ic16().collect()}
+    got17 = {(r["obs"], r["n_unequal"]) for r in v.ic17().collect()}
+    v.unpersist()
+    assert got12 == {o for o in exp[0]}
+    assert got14 == exp[1]
+    assert got15 == exp[2]
+    assert got16 == exp[3]
+    assert got17 == exp[4]
