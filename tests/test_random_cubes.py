@@ -61,8 +61,39 @@ def _random_cube(rng: random.Random, tag: str):
         if rng.random() < 0.3:
             rows.append(lit_row(spec, qb.QB_COMPONENT_REQUIRED, "true", qb.XSD_BOOLEAN))
             required.add(p)
-    for d in dims:
+    concepts = [f"{EG}c{tag}_{j}" for j in range(4)]
+    typed_concepts = set()
+    for j, c in enumerate(concepts):
+        if j != 3:  # one concept stays UNtyped -> fails the skos:Concept test
+            rows.append(iri_row(c, qb.RDF_TYPE, qb.SKOS_CONCEPT))
+            typed_concepts.add(c)
+    dim_cls: dict[str, tuple[str, set]] = {}
+    for i, d in enumerate(dims):
         rows.append(iri_row(d, qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY))
+        if rng.random() < 0.6:
+            cl = f"{EG}cl{tag}_{i}"
+            rows.append(iri_row(d, qb.QB_CODE_LIST, cl))
+            members = rng.sample(concepts, rng.randint(1, 3))
+            if rng.random() < 0.5:  # ConceptScheme branch
+                rows.append(iri_row(cl, qb.RDF_TYPE, qb.SKOS_CONCEPT_SCHEME))
+                for c in members:
+                    rows.append(iri_row(c, qb.SKOS_IN_SCHEME, cl))
+                closure = set(members)
+            else:  # Collection branch: direct members + sometimes a nested hop
+                rows.append(iri_row(cl, qb.RDF_TYPE, qb.SKOS_COLLECTION))
+                closure = set()
+                direct, nested = members[:1], members[1:]
+                for c in direct:
+                    rows.append(iri_row(cl, qb.SKOS_MEMBER, c))
+                    closure.add(c)
+                if nested:
+                    sub = f"{EG}subcol{tag}_{i}"
+                    rows.append(iri_row(cl, qb.SKOS_MEMBER, sub))
+                    closure.add(sub)
+                    for c in nested:
+                        rows.append(iri_row(sub, qb.SKOS_MEMBER, c))
+                        closure.add(c)
+            dim_cls[d] = (cl, {c for c in closure if c in typed_concepts})
     for a in attrs:
         rows.append(iri_row(a, qb.RDF_TYPE, qb.QB_ATTRIBUTE_PROPERTY))
     for m in meas:
@@ -82,6 +113,10 @@ def _random_cube(rng: random.Random, tag: str):
                     # branches and IC-16's cardinality branch all fire
                     pool = meas + [f"{EG}bogus{tag}"]
                     vals = rng.sample(pool, rng.randint(1, min(2, len(pool))))
+                elif p in dim_cls:
+                    # mix of in-list concepts, out-of-list/untyped concepts
+                    # and plain values exercises every IC-19 branch
+                    vals = rng.sample(concepts + values, rng.randint(1, 2))
                 else:
                     vals = rng.sample(values, rng.randint(1, 2))  # sometimes multi-valued
                 per_prop[p] = vals
@@ -91,7 +126,7 @@ def _random_cube(rng: random.Random, tag: str):
     return dict(
         ds=ds, dims=dims, meas=meas, required=required,
         comp_props=comp_props, measure_type=measure_type,
-        obs_props=obs_props, rows=rows,
+        dim_cls=dim_cls, obs_props=obs_props, rows=rows,
     )
 
 
@@ -147,13 +182,25 @@ def _model(cube):
         eq = sum(1 for v2 in scope.values() if _compat(v1, v2))
         if eq != n_meas:
             ic17.add((obs1, len(scope) - eq))
-    return ic11, ic12, ic13, ic14, ic15, ic16, ic17
+    # IC-19 (value-keyed): distinct (dim, value) pairs under the exactly-
+    # one-value guard; a failing value collects ALL of its dim's code lists
+    fail_pairs = set()
+    for obs, per_prop in cube["obs_props"].items():
+        for d, (cl, allowed) in cube["dim_cls"].items():
+            vals = per_prop.get(d, [])
+            if len(vals) == 1 and vals[0] not in allowed:
+                fail_pairs.add((vals[0], cl))
+    ic19 = {}
+    for value, cl in fail_pairs:
+        ic19.setdefault(value, set()).add(cl)
+    ic19 = {(v, tuple(sorted(cls))) for v, cls in ic19.items()}
+    return ic11, ic12, ic13, ic14, ic15, ic16, ic17, ic19
 
 
-def test_random_cubes_ic11_to_ic17_match_python_model(spark):
+def test_random_cubes_ic11_to_ic19_match_python_model(spark):
     rng = random.Random(20260817)
     all_rows = []
-    exp = [set() for _ in range(7)]
+    exp = [set() for _ in range(8)]
     for t in range(30):
         cube = _random_cube(rng, str(t))
         all_rows.extend(cube["rows"])
@@ -167,6 +214,7 @@ def test_random_cubes_ic11_to_ic17_match_python_model(spark):
     got15 = {(r["obs"], tuple(r["measure_types"])) for r in v.ic15().collect()}
     got16 = {(r["obs"], tuple(r["measure_types"])) for r in v.ic16().collect()}
     got17 = {(r["obs"], r["n_unequal"]) for r in v.ic17().collect()}
+    got19 = {(r["value"], tuple(r["code_lists"])) for r in v.ic19().collect()}
     v.unpersist()
     assert got11 == exp[0]
     assert got12 == {o for o in exp[1]}
@@ -175,6 +223,11 @@ def test_random_cubes_ic11_to_ic17_match_python_model(spark):
     assert got15 == exp[4]
     assert got16 == exp[5]
     assert got17 == exp[6]
+    # ic19 merges code_lists per value ACROSS cubes; re-merge the per-cube sets
+    merged = {}
+    for value, cls in exp[7]:
+        merged.setdefault(value, set()).update(cls)
+    assert got19 == {(v_, tuple(sorted(c))) for v_, c in merged.items()}
 
 
 def _model_strict(cube):
@@ -183,8 +236,9 @@ def _model_strict(cube):
     skips measureType cubes and expects declared measures only; IC-15
     demands a value for EVERY measureType binding; IC-16 flags a binding
     when any OTHER declared measure is valued; IC-17 gives dirty
-    observations an equal-count of zero."""
-    ic12, ic14, ic15, ic16, ic17 = (set() for _ in range(5))
+    observations an equal-count of zero; IC-19 checks EVERY value binding
+    (no single-value guard) and outputs failing (obs, dim) pairs."""
+    ic12, ic14, ic15, ic16, ic17, ic19 = (set() for _ in range(6))
     complete = {}
     for obs, per_prop in cube["obs_props"].items():
         if all(d in per_prop for d in cube["dims"]):
@@ -223,13 +277,20 @@ def _model_strict(cube):
         grp = 0 if None in v else vec_counts[v]
         if grp != n_meas:
             ic17.add((obs, len(scope) - grp))
-    return ic12, ic14, ic15, ic16, ic17
+    # strict IC-19: EVERY binding checked (no single-value guard), output
+    # the (obs, dim) pairs with some failing binding
+    ic19 = set()
+    for obs, per_prop in cube["obs_props"].items():
+        for d, (cl, allowed) in cube["dim_cls"].items():
+            if any(val not in allowed for val in per_prop.get(d, [])):
+                ic19.add((obs, d))
+    return ic12, ic14, ic15, ic16, ic17, ic19
 
 
 def test_random_cubes_strict_mode_matches_python_model(spark):
     rng = random.Random(20260818)
     all_rows = []
-    exp = [set() for _ in range(5)]
+    exp = [set() for _ in range(6)]
     for t in range(30):
         cube = _random_cube(rng, str(t))
         all_rows.extend(cube["rows"])
@@ -241,9 +302,11 @@ def test_random_cubes_strict_mode_matches_python_model(spark):
     got15 = {(r["obs"], r["measure"]) for r in v.ic15().collect()}
     got16 = {(r["obs"], r["measure"]) for r in v.ic16().collect()}
     got17 = {(r["obs"], r["n_unequal"]) for r in v.ic17().collect()}
+    got19 = {(r["obs"], r["dim"]) for r in v.ic19().collect()}
     v.unpersist()
     assert got12 == {o for o in exp[0]}
     assert got14 == exp[1]
     assert got15 == exp[2]
     assert got16 == exp[3]
     assert got17 == exp[4]
+    assert got19 == exp[5]
