@@ -62,14 +62,25 @@ def extract_mentions(transcripts: DataFrame, extra_cols: list[str] | None = None
         + [transcripts.schema[c] for c in extra_cols]
     )
 
+    # Literal mid-segment per template ("{}A{}B" -> "A"): a regex match
+    # requires the escaped literal as a substring, so a vectorized
+    # non-regex contains() pre-filter is a sound necessary condition —
+    # the (much slower) per-row regex then runs only on candidate rows
+    # instead of the whole batch, once per template (guide §4.2).
+    mids = [t.split("{}")[1] for t, _ in E.TEMPLATES]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = pdf["text"].astype("string")
             outs = []
-            for pattern, rel in patterns:
-                ext = texts.str.extract(pattern, expand=True)
-                hit = ext[0].notna()
-                if not hit.any():
+            for (pattern, rel), mid in zip(patterns, mids):
+                cand = texts.str.contains(mid, regex=False).fillna(False) if mid else None
+                sub = texts[cand] if cand is not None else texts
+                if sub.empty:
+                    continue
+                ext = sub.str.extract(pattern, expand=True)
+                hit = ext.index[ext[0].notna()]
+                if hit.empty:
                     continue
                 data = {
                     "conv_id": pdf.loc[hit, "conv_id"],
@@ -86,5 +97,10 @@ def extract_mentions(transcripts: DataFrame, extra_cols: list[str] | None = None
             else:
                 yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in schema.fields})
 
-    cols = transcripts.select("conv_id", F.col("turn_idx").cast("int"), "text", *extra_cols)
+    from ..session import spread
+
+    # parallelism floor for the regex kernel: a single-partition scan
+    # would serialize the extraction on one Python worker (no-op for
+    # streaming frames and well-partitioned inputs)
+    cols = spread(transcripts.select("conv_id", F.col("turn_idx").cast("int"), "text", *extra_cols))
     return cols.mapInPandas(gen, schema=schema)

@@ -42,18 +42,31 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     """(.., subj_surface, obj_surface) -> (.., subj_entity, obj_entity).
 
     Unlinkable surfaces drop the mention (both slots must link). Ambiguity
-    resolves to min(candidate) — deterministic and SQL-expressible."""
-    d_subj = F.broadcast(dictionary.select(F.col("surface").alias("subj_surface"), F.col("entity").alias("subj_cand")))
-    d_obj = F.broadcast(dictionary.select(F.col("surface").alias("obj_surface"), F.col("entity").alias("obj_cand")))
+    resolves to min(candidate) — deterministic and SQL-expressible.
+
+    The min-candidate rule is resolved on the DICTIONARY side (a
+    surface-keyed groupBy over the curated, schema-scale dictionary)
+    before the join, so each mention joins exactly one row per slot and
+    the mention-scale stream never shuffles at all — the previous
+    join-then-groupBy form re-keyed every mention by its 5-column key
+    (8.7 MB shuffle at sf0.1 bench scale; guide §2.4: remove shuffles
+    outright). min over the join fan-out of independent subj/obj
+    candidate sets equals the per-surface min, and mention rows are
+    unique per (conv, turn, rel, surfaces) by construction (one row per
+    (turn, template) from extract_mentions), so the groupBy was a no-op
+    dedup; dropping it preserves the exact row multiset."""
+    resolved = dictionary.groupBy("surface").agg(F.min("entity").alias("entity"))
+    d_subj = F.broadcast(
+        resolved.select(F.col("surface").alias("subj_surface"), F.col("entity").alias("subj_entity"))
+    )
+    d_obj = F.broadcast(
+        resolved.select(F.col("surface").alias("obj_surface"), F.col("entity").alias("obj_entity"))
+    )
     keys = ["conv_id", "turn_idx", "rel", "subj_surface", "obj_surface"]
     return (
         mentions.join(d_subj, "subj_surface", "inner")
         .join(d_obj, "obj_surface", "inner")
-        .groupBy(*keys)
-        .agg(
-            F.min("subj_cand").alias("subj_entity"),
-            F.min("obj_cand").alias("obj_entity"),
-        )
+        .select(*keys, "subj_entity", "obj_entity")
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.closure import connected_components
+from ..session import spread
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +104,9 @@ def minhash_signatures(
                 sigs.append(sig.tolist())
             yield pd.DataFrame({"id": ids, "sig": sigs})
 
-    narrow = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    # parallelism floor: single-file corpora plan as one scan partition,
+    # serializing the whole kernel on one Python worker (guide §2.5)
+    narrow = spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     return narrow.mapInPandas(gen, schema="id long, sig array<long>")
 
 
@@ -239,7 +242,7 @@ def simhash_signatures(
                 out_sigs.append(np.uint64(packed).astype(np.int64))
             yield pd.DataFrame({"id": out_ids, "simhash": pd.array(out_sigs, dtype="int64")})
 
-    narrow = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    narrow = spread(docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     return narrow.mapInPandas(gen, schema="id long, simhash long")
 
 
@@ -388,7 +391,7 @@ def hyperplane_buckets(
                 buckets_out.extend(row.tolist())
             yield pd.DataFrame({"id": ids_out, "band": bands_out, "bucket": buckets_out})
 
-    narrow = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    narrow = spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")))
     return narrow.mapInPandas(gen, schema="id long, band int, bucket long")
 
 

@@ -284,7 +284,11 @@ def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    from ..session import spread
+
+    # parallelism floor: a single-partition doc scan would build every
+    # payload on one Python worker (guide §2.5); no-op at scale
+    return spread(docs.select(id_col, text_col)).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:

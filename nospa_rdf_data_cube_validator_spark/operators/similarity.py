@@ -42,12 +42,35 @@ def brute_force_topk(
     """(q_id, vec_id, cosine, rank): exact top-k neighbors per query.
 
     Queries are broadcast (query sets are small); ties break by vec_id so
-    results are deterministic across parallelism levels."""
-    joined = data.crossJoin(F.broadcast(queries.select(q_id_col, q_vec_col)))
-    scored = joined.select(
-        F.col(q_id_col).alias("q_id"),
+    results are deterministic across parallelism levels.
+
+    Norms are computed ONCE per data row / per query row before the
+    crossJoin instead of per (data, query) pair — with Q queries that
+    removes Q-1 of the Q interpreted-lambda norm evaluations per vector
+    (guide §1.2 per-task work). Same expression over the same doubles in
+    the same order, so cosine is bit-identical to the fused form."""
+    from ..session import spread
+
+    # spread BEFORE the norm projection so a single-partition scan does
+    # not compute every norm (and then every pair score) on one task
+    data_n = spread(data).select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine_col(vec_col, q_vec_col), 6).alias("cosine"),
+        F.col(vec_col).alias("_dvec"),
+        F.expr(_NORM.format(a=vec_col)).alias("_dnorm"),
+    )
+    queries_n = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).alias("_qvec"),
+        F.expr(_NORM.format(a=q_vec_col)).alias("_qnorm"),
+    )
+    joined = data_n.crossJoin(F.broadcast(queries_n))
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            F.expr(_DOT.format(a="_dvec", b="_qvec")) / (F.col("_dnorm") * F.col("_qnorm")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread
+
 # marker stopwords per language for the n-gram-free heuristic language id
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
@@ -32,6 +34,7 @@ def _marker_count(text_col: str, words: list[str]) -> F.Column:
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, pred_lang, score): argmax of per-language marker-word counts;
     'und' when nothing matches. Deterministic tie-break: lexicographic lang."""
+    docs = spread(docs)  # parallelism floor for the regex scan (guide §2.5)
     scores = [
         F.struct(_marker_count(text_col, ws).alias("score"), F.lit(lang).alias("lang"))
         for lang, ws in sorted(LANG_MARKERS.items())
@@ -50,6 +53,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     are integer micro-units (value * 1e6, floor) — exact integer arithmetic,
     so the numbers are bit-identical across engines and parallelism levels
     (no float rounding in the contract)."""
+    docs = spread(docs)  # parallelism floor for the regex scan (guide §2.5)
     base = docs.select(
         F.col(id_col).alias("id"),
         F.length(text_col).alias("n_chars"),
@@ -73,6 +77,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, ws_tokens, bpe_ish_tokens): whitespace tokens and a BPE-ish
     subword count (regexp segmentation)."""
+    docs = spread(docs)  # parallelism floor for the regex scan (guide §2.5)
     ws = F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')"))
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
     return docs.select(
@@ -85,6 +90,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     over normalized word tokens (order-sensitive, whitespace-insensitive),
     computed with a higher-order aggregate. Not SQL-oracle'd (DuckDB lacks
     matching 64-bit overflow arithmetic); tested by invariants instead."""
+    docs = spread(docs)  # parallelism floor for the regex scan (guide §2.5)
     tokens = F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != '')")
     # chained xxhash64(acc, token) instead of polynomial acc*31+h: same
     # order-sensitivity, no ANSI-mode bigint overflow.
@@ -108,6 +114,7 @@ def winnow_fingerprint(
     rolling hash, faster but not reproducible outside the JVM): md5 is
     standardized, so this variant is the one to use when fingerprints must
     match across engines/languages. All JVM-side expressions."""
+    docs = spread(docs)  # parallelism floor for the regex scan (guide §2.5)
     grams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
         f" i -> substr({text_col}, i, {k})))"

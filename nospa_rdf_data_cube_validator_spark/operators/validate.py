@@ -24,7 +24,7 @@ observation or (dataset, dim-key).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import qb, terms
@@ -94,16 +94,41 @@ class CubeValidator:
         """
         self.store = store
         self.strict_w3c = strict_w3c
-        self._memo: dict[str, DataFrame] = {}
+        self._memo: dict[str, object] = {}
         self._persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------
     # shared sub-plans (all cached; metadata ones are tiny)
     # ------------------------------------------------------------------
+    #: driver-materialization guard for metadata frames: DSD/component/
+    #: code-list structures are human-authored and stay schema-scale at any
+    #: observation scale, but a hostile input could exceed it — over the
+    #: cap the frame stays distributed (same plan as before).
+    METADATA_CAP = 1_000_000
+
     def _cached(self, key: str, build) -> DataFrame:
         if key not in self._memo:
             self._memo[key] = build()
         return self._memo[key]
+
+    def _local(self, df: DataFrame) -> DataFrame:
+        """Driver-materialize a METADATA-scale frame as a local relation.
+
+        Every memoized metadata frame (ds_list, ds_comp_props, the
+        defined-property sets, the per-dataset dim arrays ...) is consumed
+        by several constraint plans, and each consumption re-evaluates the
+        whole subtree — at bench scale that is 4-8 extra full scans of the
+        observation-scale store per validator, each inside its own
+        broadcast job (guide §2.4: remove work, not just shuffles; the
+        reference engine likewise holds schema structures in memory).
+        Collecting once and re-creating a local relation makes every
+        downstream broadcast build free. Values are unchanged, so every
+        icN() result is identical. Frames larger than METADATA_CAP fall
+        back to the distributed plan unchanged."""
+        rows = df.limit(self.METADATA_CAP + 1).collect()
+        if len(rows) > self.METADATA_CAP:
+            return df
+        return df.sparkSession.createDataFrame(rows, df.schema)
 
     def _persist(self, df: DataFrame) -> DataFrame:
         """persist() with ownership: released by unpersist()/close() so
@@ -129,6 +154,45 @@ class CubeValidator:
     def __exit__(self, *exc) -> None:
         self.unpersist()
 
+    #: predicates / rdf:type classes that together define the SCHEMA slice
+    #: of the store: every memoized metadata frame below derives from
+    #: triples matching this vocabulary, so ONE filtered pass over the
+    #: store feeds them all (the per-frame builders each paid their own
+    #: full scan before — six scans of the observation-scale store per
+    #: validator at bench scale). Observation-scale predicates
+    #: (qb:dataSet, qb:measureType, qb:observation, skos:inScheme/member,
+    #: rdf:type qb:Observation / skos:Concept) are deliberately NOT here.
+    _META_PREDS = (
+        qb.QB_STRUCTURE,
+        qb.QB_COMPONENT,
+        qb.QB_COMPONENT_PROPERTY,
+        qb.QB_CODE_LIST,
+        qb.QB_PARENT_CHILD_PROPERTY,
+        qb.QB_HIERARCHY_ROOT,
+    )
+    _META_CLASSES = (
+        qb.QB_DIMENSION_PROPERTY,
+        qb.QB_MEASURE_PROPERTY,
+        qb.QB_ATTRIBUTE_PROPERTY,
+        qb.QB_HIERARCHICAL_CODE_LIST,
+    )
+
+    def _meta_store(self) -> TripleStore:
+        """A store over ONLY the schema-vocabulary triples, driver-
+        materialized (one scan, one collect); all memoized metadata frames
+        build from it with zero further passes over the full store. Falls
+        back transparently to a distributed (but still filtered) frame
+        over METADATA_CAP."""
+        def build():
+            tv = self.store.term_value
+            cond = F.col("pred").isin([tv(p) for p in self._META_PREDS]) | (
+                (F.col("pred") == self.store.lit(qb.RDF_TYPE))
+                & F.col("obj").isin([tv(c) for c in self._META_CLASSES])
+            )
+            return self.store.with_df(self._local(self.store.df.where(cond)))
+
+        return self._cached("meta_store", build)
+
     def obs_ds(self) -> DataFrame:
         """(obs, ds): the observation-scale qb:dataSet edge table."""
         return self._cached(
@@ -143,26 +207,27 @@ class CubeValidator:
         domain for per-dataset checks, e.g. ValidatorIC11_12.java:30-41)."""
         return self._cached(
             "ds_list",
-            lambda: self.store.p(qb.QB_STRUCTURE)
-            .select(F.col("subj").alias("ds"))
-            .distinct(),
+            lambda: self._local(
+                self._meta_store().p(qb.QB_STRUCTURE).select(F.col("subj").alias("ds")).distinct()
+            ),
         )
 
     def ds_comp_props(self) -> DataFrame:
         """(ds, prop, prop_kind): ?ds qb:structure/qb:component/qb:componentProperty ?prop."""
         def build():
-            structure = self.store.p(qb.QB_STRUCTURE).select(
+            meta = self._meta_store()
+            structure = meta.p(qb.QB_STRUCTURE).select(
                 F.col("subj").alias("ds"), F.col("obj").alias("dsd")
             )
-            component = self.store.p(qb.QB_COMPONENT).select(
+            component = meta.p(qb.QB_COMPONENT).select(
                 F.col("subj").alias("dsd"), F.col("obj").alias("spec")
             )
-            comp_prop = self.store.p(qb.QB_COMPONENT_PROPERTY, with_kind=True).select(
+            comp_prop = meta.p(qb.QB_COMPONENT_PROPERTY, with_kind=True).select(
                 F.col("subj").alias("spec"),
                 F.col("obj").alias("prop"),
                 F.col("obj_kind").alias("prop_kind"),
             )
-            return (
+            return self._local(
                 structure.join(F.broadcast(component), "dsd")
                 .join(F.broadcast(comp_prop), "spec")
                 .select("ds", "prop", "prop_kind")
@@ -172,13 +237,19 @@ class CubeValidator:
         return self._cached("ds_comp_props", build)
 
     def dims_defined(self) -> DataFrame:
-        return self._cached("dims_defined", lambda: self.store.typed(qb.QB_DIMENSION_PROPERTY))
+        return self._cached(
+            "dims_defined", lambda: self._local(self._meta_store().typed(qb.QB_DIMENSION_PROPERTY))
+        )
 
     def measures_defined(self) -> DataFrame:
-        return self._cached("measures_defined", lambda: self.store.typed(qb.QB_MEASURE_PROPERTY))
+        return self._cached(
+            "measures_defined", lambda: self._local(self._meta_store().typed(qb.QB_MEASURE_PROPERTY))
+        )
 
     def attrs_defined(self) -> DataFrame:
-        return self._cached("attrs_defined", lambda: self.store.typed(qb.QB_ATTRIBUTE_PROPERTY))
+        return self._cached(
+            "attrs_defined", lambda: self._local(self._meta_store().typed(qb.QB_ATTRIBUTE_PROPERTY))
+        )
 
     def _obs_pred_stats(self, preds: DataFrame) -> DataFrame:
         """(obs, pred, n_vals, min_val) over triples whose pred is in ``preds``.
@@ -337,9 +408,13 @@ class CubeValidator:
                 .distinct()
             )
             grouped = ds_dims.groupBy("ds").agg(F.sort_array(F.collect_set("prop")).alias("dims"))
-            return self.ds_list().join(grouped, "ds", "left").withColumn(
-                "dims",
-                F.coalesce("dims", F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>")),
+            return self._local(
+                self.ds_list().join(grouped, "ds", "left").withColumn(
+                    "dims",
+                    F.coalesce(
+                        "dims", F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>")
+                    ),
+                )
             )
 
         return self._cached("ds_dims_arr", build)
@@ -352,44 +427,95 @@ class CubeValidator:
             all_dims = (
                 self.ds_dims_arr().select(F.explode("dims").alias("pred")).distinct()
             )
-            # The qb:dataSet edges ride through the same per-observation
-            # aggregation as the dimension values, so the whole base costs
-            # exactly two keyed shuffles ((obs, pred) with map-side partial
-            # aggregation, then obs) and no obs-scale join against a
-            # separate (obs, ds) table. The full dataSet value *set* is kept
-            # (an obs is checked once per dataset it belongs to, matching
-            # the reference's per-dataset iteration).
-            preds = all_dims.unionByName(
-                self.store.df.sparkSession.createDataFrame(
-                    [(self.store.term_value(qb.QB_DATASET_PROP),)],
-                    f"pred {self.store.term_sql_type}",
-                )
-            )
-            cand = self.store.df.join(F.broadcast(preds.distinct()), "pred", "left_semi")
+            # Phase 1 aggregates ONLY dimension-valued triples with a plain
+            # min — a fully codegen'd HashAggregate with map-side partials
+            # (the skew guard: a degenerate (obs, pred) key reduces to one
+            # partial row per map partition). The earlier form rode the
+            # qb:dataSet edges through the same aggregation via
+            # collect_set(when(...)), which forced BOTH phases into
+            # ObjectHashAggregate (interpreted, sort-fallback) over ~25%
+            # more rows; the (obs, ds) edge table instead shuffles once as
+            # a skinny frame whose dedup AND join both reuse that single
+            # hash(obs) exchange (HashPartitioning(obs) satisfies the
+            # (obs, ds) dedup's clustering and the obs equi-join — one
+            # Exchange, two operators; guide §2.4).
+            cand = self.store.df.join(F.broadcast(all_dims), "pred", "left_semi")
             stats = cand.groupBy(F.col("subj").alias("obs"), "pred").agg(
-                F.min("obj").alias("min_val"),
-                F.collect_set(
-                    F.when(F.col("pred") == self.store.lit(qb.QB_DATASET_PROP), F.col("obj"))
-                ).alias("ds_vals"),
+                F.min("obj").alias("min_val")
             )
-            per_obs = stats.groupBy("obs").agg(
-                F.collect_list(F.struct("pred", "min_val")).alias("pvs_all"),
-                F.flatten(F.collect_list("ds_vals")).alias("ds_list"),
+            # distinct (obs, ds) via a groupBy(obs) collect_set + explode:
+            # matches the previous value-SET semantics (an obs is checked
+            # once per dataset it belongs to, matching the reference's
+            # per-dataset iteration) while leaving the exchange decision to
+            # the planner — the aggregation REQUIRES clustering by obs, so
+            # the in-memory path pays one hash(obs) exchange of this skinny
+            # edge table that the relevance join and the final left join
+            # both reuse, and the subj-bucketed AT-REST table (already
+            # HashPartitioning(subj)) pays NONE (an unconditional
+            # repartition here measurably re-introduced the observation-
+            # scale Exchange the bucketed layout exists to remove).
+            obs_ds = (
+                self.obs_ds()
+                .groupBy("obs")
+                .agg(F.collect_set("ds").alias("_ds_set"))
+                .select("obs", F.explode("_ds_set").alias("ds"))
             )
+            # Relevance is decided BEFORE aggregation with the codegen'd
+            # array_contains row filter, and the per-(obs, ds) shapes are
+            # built by plain collect_set/collect_list aggregations — no
+            # interpreted higher-order lambdas anywhere in the
+            # observation-scale plan (the previous filter/transform/
+            # array_except-over-struct pipeline was evaluated row-at-a-time
+            # by the interpreter; guide §1.2 per-task work). The ds_dims
+            # broadcast join runs on the stats side (one row per
+            # (obs, dim)), so a dataset's declared-dim array never fans
+            # out to raw triple rows.
+            relevant = (
+                stats.join(obs_ds, "obs")
+                .join(ds_dims_arr, "ds")
+                .where(F.expr("array_contains(dims, pred)"))
+            )
+            t = self.store.term_sql_type
+            if self.strict_w3c:
+                # official semantics: key by the full (dim, value) pairing
+                key_col = F.sort_array(
+                    F.collect_list(
+                        F.concat(
+                            F.col("pred").cast("string"),
+                            F.lit("\u0000"),
+                            F.col("min_val").cast("string"),
+                        )
+                    )
+                )
+                key_t = "array<string>"
+            else:
+                # NoSPA value-set collapse quirk (Set<RDFNode> valueSet,
+                # ValidatorIC11_12.java:70-80): collect_set == the distinct
+                # the transform+array_distinct form computed
+                key_col = F.sort_array(F.collect_set("min_val"))
+                key_t = f"array<{t}>"
+            agg = relevant.groupBy("obs", "ds").agg(
+                F.collect_set("pred").alias("present"), key_col.alias("dim_key0")
+            )
+            # LEFT join keeps dataSet-bearing observations with zero
+            # relevant dim values (missing = all declared dims; a zero-dim
+            # DSD yields the empty duplicate key, the degenerate-skew
+            # shape); observations without a dataSet edge drop exactly as
+            # before. Only the narrow (obs, ds, missing, dim_key, key_h)
+            # frame is persisted — ic11 and ic12 read nothing else
+            # (guide §5: cache only what is reused).
             base = (
-                per_obs.select(
-                    "obs",
-                    F.expr(
-                        "filter(pvs_all, x -> x.pred != "
-                        f"{_sql_term(self.store.term_value(qb.QB_DATASET_PROP))})"
-                    ).alias("pvs"),
-                    F.explode("ds_list").alias("ds"),
-                )
+                obs_ds.join(agg, ["obs", "ds"], "left")
                 .join(ds_dims_arr, "ds", "inner")
-                .withColumn("relevant", F.expr("filter(pvs, x -> array_contains(dims, x.pred))"))
-                .withColumn(
-                    "missing", F.expr("array_except(dims, transform(relevant, x -> x.pred))")
+                .select(
+                    "obs",
+                    "ds",
+                    F.array_except(
+                        "dims", F.coalesce("present", F.expr("array()").cast(f"array<{t}>"))
+                    ).alias("missing"),
+                    F.coalesce("dim_key0", F.expr("array()").cast(key_t)).alias("dim_key"),
                 )
+                .withColumn("key_h", F.xxhash64("ds", "dim_key"))
             )
             # ic11() and ic12() both consume this observation-scale frame;
             # persist so two actions don't recompute the groupBys (owned:
@@ -420,15 +546,8 @@ class CubeValidator:
         The reference flags all but the hash-order-first member of each
         duplicate group; we flag all but the minimum observation id."""
         base = self._ic11_12_base()
-        if self.strict_w3c:
-            # official semantics: key by the full (dim, value) pairing
-            key_expr = (
-                "array_sort(transform(relevant, x -> concat(cast(x.pred as string),"
-                " '\\u0000', cast(x.min_val as string))))"
-            )
-        else:
-            key_expr = "array_sort(array_distinct(transform(relevant, x -> x.min_val)))"
-        complete = base.where(F.size("missing") == 0).withColumn("dim_key", F.expr(key_expr))
+        # dim_key/key_h are precomputed (mode-appropriate) in the shared
+        # base — see _ic11_12_base.
         # Two-phase skew-safe dup detection (vs the earlier
         # Window.partitionBy(key) min-over form): phase 1 is a groupBy with
         # MAP-SIDE partial aggregation, so even a degenerate cube where
@@ -442,8 +561,7 @@ class CubeValidator:
         # and it degenerates to broadcast when dup groups are few (the
         # common case: duplicate keys are the exception, not the rule).
         # 8-byte hash leads the key so shuffle comparison is long-first.
-        complete = complete.withColumn("key_h", F.xxhash64("ds", "dim_key"))
-        keyed = complete.select("obs", "key_h", "ds", "dim_key")
+        keyed = base.where(F.size("missing") == 0).select("obs", "key_h", "ds", "dim_key")
         groups = (
             keyed.groupBy("key_h", "ds", "dim_key")
             .agg(F.min("obs").alias("rep"), F.count("*").alias("n"))
@@ -509,10 +627,12 @@ class CubeValidator:
         """Datasets whose component properties include qb:measureType."""
         return self._cached(
             "mt_ds",
-            lambda: self.ds_comp_props()
-            .where(F.col("prop") == self.store.lit(qb.QB_MEASURE_TYPE))
-            .select("ds")
-            .distinct(),
+            lambda: self._local(
+                self.ds_comp_props()
+                .where(F.col("prop") == self.store.lit(qb.QB_MEASURE_TYPE))
+                .select("ds")
+                .distinct()
+            ),
         )
 
     def ic14(self) -> DataFrame:
@@ -550,11 +670,14 @@ class CubeValidator:
                 .distinct()
             )
             grouped = meas.groupBy("ds").agg(F.sort_array(F.collect_set("prop")).alias("measures"))
-            return self.measure_type_datasets().join(grouped, "ds", "left").withColumn(
-                "measures",
-                F.coalesce(
-                    "measures", F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>")
-                ),
+            return self._local(
+                self.measure_type_datasets().join(grouped, "ds", "left").withColumn(
+                    "measures",
+                    F.coalesce(
+                        "measures",
+                        F.expr(_EMPTY_STR_ARRAY).cast(f"array<{self.store.term_sql_type}>"),
+                    ),
+                )
             )
 
         return self._cached("ds_measures_arr", build)
@@ -770,15 +893,35 @@ class CubeValidator:
         base = base.withColumn("vec_h", F.xxhash64("ds", "vec"))
         base = base.withColumn("is_dirty", F.expr("exists(vec, x -> x is null)"))
         if self.strict_w3c:
-            # official reading: a dirty observation matches nothing
-            w_group = Window.partitionBy("vec_h", "ds", "vec")
-            w_ds = Window.partitionBy("ds")
+            # official reading: a dirty observation matches nothing.
+            # Two-phase (groupBy with map-side partials + join-back)
+            # replacing the Window.partitionBy forms, exactly as the
+            # default branch was converted in r5: a window partition
+            # cannot be split, so Window.partitionBy("ds") funneled every
+            # observation of a dataset through ONE task — the unfixable
+            # 100 TB straggler the r5 verdict flagged on this branch. A
+            # clean row's (vec_h, ds, vec) window partition can only hold
+            # clean rows (a dirty vec carries a null slot and can never
+            # structurally equal an all-non-null vec), so the clean-only
+            # groupBy count reproduces the window count exactly.
+            base = self._persist(
+                base.select("obs", "ds", "vec", "vec_h", "n_measures", "is_dirty")
+            )
+            n_obs_ds = base.groupBy("ds").agg(F.count("*").alias("n_obs"))
+            cg = (
+                base.where(~F.col("is_dirty"))
+                .groupBy("ds", "vec_h", "vec")
+                .agg(F.count("*").alias("c"))
+            )
             return (
-                base.withColumn(
+                base.join(cg, ["ds", "vec_h", "vec"], "left")
+                .withColumn(
                     "grp",
-                    F.when(F.col("is_dirty"), F.lit(0)).otherwise(F.count("*").over(w_group)),
+                    F.when(F.col("is_dirty"), F.lit(0)).otherwise(
+                        F.coalesce("c", F.lit(0))
+                    ),
                 )
-                .withColumn("n_obs", F.count("*").over(w_ds))
+                .join(F.broadcast(n_obs_ds), "ds")
                 .where(F.col("grp") != F.col("n_measures"))
                 .select("obs", (F.col("n_obs") - F.col("grp")).alias("n_unequal"))
                 .distinct()
@@ -867,9 +1010,11 @@ class CubeValidator:
         """(dim, cl): qb:codeList values of typed DimensionProperties."""
         return self._cached(
             "dim_cl",
-            lambda: star_fetch(
-                self.store, [(qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY)], qb.QB_CODE_LIST
-            ).select(F.col("subj").alias("dim"), F.col("obj").alias("cl")),
+            lambda: self._local(
+                star_fetch(
+                    self._meta_store(), [(qb.RDF_TYPE, qb.QB_DIMENSION_PROPERTY)], qb.QB_CODE_LIST
+                ).select(F.col("subj").alias("dim"), F.col("obj").alias("cl"))
+            ),
         )
 
     def _ds_code_dims(self, dim_cl: DataFrame) -> DataFrame:
@@ -1020,8 +1165,10 @@ class CubeValidator:
         IC-20/21 sub-plan (memoized like the other metadata frames)."""
         return self._cached(
             "hcl",
-            lambda: self.store.typed(qb.QB_HIERARCHICAL_CODE_LIST).select(
-                F.col("subj").alias("cl")
+            lambda: self._local(
+                self._meta_store()
+                .typed(qb.QB_HIERARCHICAL_CODE_LIST)
+                .select(F.col("subj").alias("cl"))
             ),
         )
 
@@ -1030,18 +1177,24 @@ class CubeValidator:
         hierarchical code lists, before the direct/inverse kind split."""
         return self._cached(
             "pcp_raw",
-            lambda: self.store.p(qb.QB_PARENT_CHILD_PROPERTY, with_kind=True)
-            .select(F.col("subj").alias("cl"), F.col("obj").alias("p"), "obj_kind")
-            .join(self._hcl(), "cl", "left_semi"),
+            lambda: self._local(
+                self._meta_store()
+                .p(qb.QB_PARENT_CHILD_PROPERTY, with_kind=True)
+                .select(F.col("subj").alias("cl"), F.col("obj").alias("p"), "obj_kind")
+                .join(self._hcl(), "cl", "left_semi")
+            ),
         )
 
     def _hcl_roots(self) -> DataFrame:
         """(cl, node): qb:hierarchyRoot declarations on typed lists."""
         return self._cached(
             "hcl_roots",
-            lambda: self.store.p(qb.QB_HIERARCHY_ROOT)
-            .select(F.col("subj").alias("cl"), F.col("obj").alias("node"))
-            .join(self._hcl(), "cl", "left_semi"),
+            lambda: self._local(
+                self._meta_store()
+                .p(qb.QB_HIERARCHY_ROOT)
+                .select(F.col("subj").alias("cl"), F.col("obj").alias("node"))
+                .join(self._hcl(), "cl", "left_semi")
+            ),
         )
 
     def _hierarchy_conn(self, direction: str) -> DataFrame:

@@ -80,6 +80,11 @@ class TripleStore:
         merged = self.df.unionByName(other).dropDuplicates(["subj", "pred", "obj"])
         return TripleStore(merged)
 
+    def with_df(self, df: DataFrame) -> "TripleStore":
+        """Same representation, different triples frame (EncodedTripleStore
+        overrides to carry its dictionary/constants along)."""
+        return TripleStore(df)
+
     def persist(self, level=None) -> "TripleStore":
         self.df = self.df.persist() if level is None else self.df.persist(level)
         return self

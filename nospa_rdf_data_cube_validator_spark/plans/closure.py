@@ -23,11 +23,15 @@ from pyspark.sql import functions as F
 CHECKPOINT_EVERY = 3
 
 
-def _fits(df: DataFrame, threshold: int) -> bool:
-    """Size probe that never scans past threshold+1 rows: a full count() on
-    an observation-scale frame would pay a whole extra job per closure call
-    just to decide the driver-vs-distributed branch."""
-    return df.limit(threshold + 1).count() <= threshold
+def _probe_pdf(df: DataFrame, threshold: int):
+    """Single-action size probe + driver transfer: pull at most
+    threshold+1 rows through Arrow. Returns the pandas frame when the
+    input fits (the caller can drive on it directly — no second collect
+    job, no per-row pickling) or None when it does not. Bounded driver
+    memory either way (same bound _fits enforced); guide §5/§6 — Arrow
+    for driver transfers instead of the row-pickle path."""
+    pdf = df.limit(threshold + 1).toPandas()
+    return pdf if len(pdf) <= threshold else None
 
 
 def transitive_closure(
@@ -55,12 +59,20 @@ def transitive_closure(
     overhead. Larger inputs take the distributed loop below.
     """
     tag_cols = [c for c in seeds.columns if c != "node"]
+    seeds_d = seeds.dropDuplicates()
+    # Driver fast path decided with ONE action per side (probe and
+    # transfer fused, Arrow-serialized): the previous shape paid an eager
+    # localCheckpoint + a limit-count + a row-pickling collect() per side
+    # (5-6 jobs) before the BFS even started.
+    e_pdf = _probe_pdf(edges, driver_threshold)
+    if e_pdf is not None:
+        s_pdf = _probe_pdf(seeds_d, driver_threshold)
+        if s_pdf is not None:
+            return _closure_on_driver(seeds_d, s_pdf, e_pdf, tag_cols, list(edge_tags))
     # The edge set is re-joined every iteration: materialize it once instead
     # of recomputing its upstream plan per hop.
     edges = edges.localCheckpoint(eager=True)
-    seeds_d = seeds.dropDuplicates().localCheckpoint(eager=True)
-    if _fits(edges, driver_threshold) and _fits(seeds_d, driver_threshold):
-        return _closure_on_driver(seeds_d, edges, tag_cols, list(edge_tags))
+    seeds_d = seeds_d.localCheckpoint(eager=True)
     reached = seeds_d
     frontier = reached
     for it in range(max_iter):
@@ -83,20 +95,25 @@ def transitive_closure(
 
 
 def _closure_on_driver(
-    seeds: DataFrame, edges: DataFrame, tag_cols: list[str], edge_tags: list[str]
+    seeds: DataFrame, s_pdf, e_pdf, tag_cols: list[str], edge_tags: list[str]
 ) -> DataFrame:
-    """Exact driver-side BFS over collected (metadata-scale) seeds/edges;
-    same (tags..., node) reachable set as the distributed fixpoint."""
+    """Exact driver-side BFS over Arrow-transferred (metadata-scale)
+    seeds/edges pandas frames; same (tags..., node) reachable set as the
+    distributed fixpoint. ``seeds`` is kept only for schema/session."""
     from collections import defaultdict
 
     adj: dict = defaultdict(list)
-    for r in edges.collect():
-        adj[(tuple(r[t] for t in edge_tags), r["src"])].append(r["dst"])
+    e_cols = [e_pdf[t].tolist() for t in edge_tags] + [
+        e_pdf["src"].tolist(),
+        e_pdf["dst"].tolist(),
+    ]
+    for row in zip(*e_cols):
+        adj[(row[:-2], row[-2])].append(row[-1])
     tag_pos = {c: i for i, c in enumerate(tag_cols)}
     reached: set = set()
     frontier: list = []
-    for r in seeds.collect():
-        key = tuple(r[c] for c in tag_cols) + (r["node"],)
+    s_cols = [s_pdf[c].tolist() for c in tag_cols] + [s_pdf["node"].tolist()]
+    for key in zip(*s_cols):
         if key not in reached:
             reached.add(key)
             frontier.append(key)
@@ -150,7 +167,8 @@ def connected_components(
     below ``driver_threshold`` edges a driver-side union-find replaces the
     iterative loop (identical output, none of the per-round job overhead).
     """
-    if _fits(edges, driver_threshold):
+    e_pdf = _probe_pdf(edges.select("src", "dst"), driver_threshold)
+    if e_pdf is not None:
         parent: dict = {}
 
         def find(x):
@@ -159,13 +177,13 @@ def connected_components(
                 x = parent[x]
             return x
 
-        rows = edges.select("src", "dst").collect()
-        for r in rows:
-            ra, rb = find(r["src"]), find(r["dst"])
+        srcs, dsts = e_pdf["src"].tolist(), e_pdf["dst"].tolist()
+        for a, b in zip(srcs, dsts):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        nodes = {x for r in rows for x in (r["src"], r["dst"])}
+        nodes = set(srcs) | set(dsts)
         out = [(n, find(n)) for n in sorted(nodes)]
         schema = edges.select(
             F.col("src").alias("node"), F.col("src").alias("component")

@@ -52,10 +52,19 @@ def vocabulary_terms() -> list[str]:
 def build_dictionary(triples: DataFrame, parts: int = 64) -> DataFrame:
     """(id bigint, term string): ORDER-PRESERVING term dictionary.
 
-    Global order without a single-partition window: range-repartition the
-    distinct terms, sort within partitions (range partitioning makes that a
-    global order), then zipWithIndex (ids are assigned by partition index
-    then position — exactly the global rank)."""
+    Global order without a single-partition window and without a JVM ->
+    Python round-trip (the previous RDD zipWithIndex path pickled every
+    distinct term out to Python workers and back just to number rows —
+    two extra jobs and the dominant cost of encode_store at bench scale):
+    range-repartition the distinct terms, sort within partitions (range
+    partitioning makes that a global order), then assign
+    ``monotonically_increasing_id()`` entirely in the JVM. The id's high
+    bits carry the (range-ordered) partition index and its low bits the
+    in-partition position, so term order == id order. Ids are unique and
+    order-preserving but NOT dense — nothing in the engine needs density:
+    the deterministic representative picks only need
+    ``min(id) == id(min(term))`` (module docstring) and ``decode()``
+    joins by id value."""
     spark = triples.sparkSession
     vocab = spark.createDataFrame([(t,) for t in vocabulary_terms()], "term string")
     all_terms = (
@@ -67,8 +76,7 @@ def build_dictionary(triples: DataFrame, parts: int = 64) -> DataFrame:
         .repartitionByRange(parts, "term")
         .sortWithinPartitions("term")
     )
-    rdd = all_terms.rdd.map(lambda r: r["term"]).zipWithIndex()
-    return spark.createDataFrame(rdd.map(lambda t: (t[1], t[0])), "id long, term string")
+    return all_terms.select(F.monotonically_increasing_id().alias("id"), "term")
 
 
 def encode_triples(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
@@ -143,6 +151,13 @@ class EncodedTripleStore(TripleStore):
 
 
 def encode_store(store: TripleStore, parts: int = 64) -> EncodedTripleStore:
-    """Build the dictionary from a string store and return its encoded twin."""
-    d = build_dictionary(store.df, parts=parts)
+    """Build the dictionary from a string store and return its encoded twin.
+
+    The dictionary is persisted: it is read four times downstream (the
+    vocabulary-constant collect plus the three encode joins), each of
+    which would otherwise re-run the full distinct+range-sort plan, and
+    the materialized cache gives AQE an exact size so the encode joins
+    convert to broadcast when the dictionary fits (guide §5: reuse that
+    outweighs the memory it holds)."""
+    d = build_dictionary(store.df, parts=parts).persist()
     return EncodedTripleStore(encode_triples(store.df, d), d)

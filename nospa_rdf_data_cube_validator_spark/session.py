@@ -12,6 +12,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def spread(df, min_partitions: int | None = None):
+    """Parallelism floor for heavy map-side pipelines (Python kernels,
+    regex scans, text generation): repartition only when the plan has
+    FEWER partitions than the session's default parallelism.
+
+    Single-file parquet inputs with one row group plan as ONE scan
+    partition, so everything up to the first Exchange — Arrow kernels,
+    regexp projections, broadcast-join fan-outs — runs on a single task
+    while the rest of the cluster idles (guide §2.5 input skew). The
+    repartition is a cheap narrow-input shuffle at that size and a no-op
+    at scale (a 100 TB input already carries >= parallelism splits, so
+    this never inserts an Exchange into a well-partitioned production
+    plan). Streaming frames are returned untouched."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df if n >= target else df.repartition(target)
+
+
 def get_spark(
     app_name: str = "nospa-cube-spark",
     master: str | None = None,
@@ -38,6 +62,27 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Metadata joins in the validator are tiny; give broadcast headroom.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Bounded-collect probes (closure driver path, validator metadata
+        # materialization) use limit(cap+1) where the cap almost always
+        # exceeds the data; the default initialNumPartitions=1 makes
+        # CollectLimit scan 1, then 4, then 16... partitions in sequential
+        # jobs, re-reading earlier partitions each round (~1.6x the scan in
+        # 3-4 round trips, measured on the validator's metadata pass). One
+        # parallel pass is strictly better here; per-task reads stay
+        # bounded by the local limit either way, so this does not change
+        # the worst case on huge inputs.
+        .config("spark.sql.limit.initialNumPartitions", "10000")
+        # Allow subset co-partitioning for joins: the validator's
+        # (obs, ds) joins arrive with both sides already HashPartitioning
+        # on obs (the subj-bucketed at-rest layout, or the shared hash(obs)
+        # exchange of the in-memory path); the default=true setting
+        # reshuffles BOTH sides by the full key set anyway, re-introducing
+        # the observation-scale Exchange the bucketed layout removes
+        # (measured: at-rest ic11 shuffle-read 413 B -> 4.4 MB with the
+        # default). Results are partitioning-independent; ds is a
+        # low-cardinality suffix key, so clustering by obs alone cannot
+        # concentrate load.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -118,7 +118,12 @@ def transcripts_from_orders(spark: SparkSession, sf_dir: str, n_convs: int = 997
     """Transcripts derived arithmetically from the testdata ``orders`` table
     (oracle-reproducible in DuckDB SQL: conv = o_orderkey % n_convs,
     turn_idx = o_orderkey // n_convs)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from ..session import spread
+
+    # single-file orders inputs plan as one scan partition; the text
+    # synthesis (broadcast joins + format_string) and the downstream
+    # extraction kernel would otherwise run on one task (guide §2.5)
+    orders = spread(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     base = orders.select(
         (F.col("o_orderkey") % n_convs).cast("bigint").alias("conv_num"),
         (F.col("o_orderkey") / n_convs).cast("bigint").alias("turn_idx"),

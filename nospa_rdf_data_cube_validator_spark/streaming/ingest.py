@@ -325,15 +325,46 @@ def streaming_ic12_dup_check(stream: DataFrame) -> DataFrame:
     operator itself is provider-agnostic."""
 
     def check(key, pdfs, state: GroupState):
+        import numpy as np
+
         ds, dim_key = key
         rep, n_seen = state.get if state.exists else (None, 0)
-        out = []
+        outs = []
         for pdf in pdfs:
-            rep, n_seen, flagged = _dup_step(rep, n_seen, (str(x) for x in pdf["obs"]))
-            out.extend((ds, dim_key, obs, r) for obs, r in flagged)
+            # null obs must not enter the state: str(None) would coerce to
+            # the literal "None" and could even become the representative,
+            # corrupting the converged set (r5 ADVICE finding)
+            obs = pdf["obs"].dropna().astype(str)
+            if obs.empty:
+                continue
+            arr = np.sort(obs.to_numpy())
+            if rep is not None and arr[0] >= rep:
+                # common case (ids arriving in or above representative
+                # order): the whole batch folds vectorized — every element
+                # except redeliveries of the representative is a duplicate
+                # of the unchanged rep. Only a batch whose minimum
+                # undercuts the representative (late smaller id) needs the
+                # element-order _dup_step walk.
+                n_seen += len(arr)
+                dups = arr[arr != rep]
+                if len(dups):
+                    outs.append(
+                        pd.DataFrame(
+                            {"ds": ds, "dim_key": dim_key, "obs": dups, "rep": rep}
+                        )
+                    )
+            else:
+                rep, n_seen, flagged = _dup_step(rep, n_seen, arr.tolist())
+                if flagged:
+                    outs.append(
+                        pd.DataFrame(
+                            [(ds, dim_key, o, r) for o, r in flagged],
+                            columns=["ds", "dim_key", "obs", "rep"],
+                        )
+                    )
         state.update((rep, n_seen))
-        if out:
-            yield pd.DataFrame(out, columns=["ds", "dim_key", "obs", "rep"])
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     return (
         stream.select("ds", "obs", "dim_key")

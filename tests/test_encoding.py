@@ -45,7 +45,11 @@ def test_dictionary_is_order_preserving(spark):
     rows = sorted((r["term"], r["id"]) for r in d.collect())
     ids = [i for _, i in rows]
     assert ids == sorted(ids), "ids must be ranked by term string order"
-    assert ids == list(range(len(ids))), "ids must be dense ranks"
+    # the engine contract is ORDER PRESERVATION + uniqueness (so that
+    # min(id) == id(min(term)) for every representative pick); density was
+    # an implementation detail of the old RDD zipWithIndex path and is not
+    # required — the r06 JVM-only assignment is sparse by design
+    assert len(set(ids)) == len(ids), "ids must be unique"
 
 
 def test_encoded_normalization_row_parity(spark, engines):

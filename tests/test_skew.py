@@ -66,6 +66,25 @@ def test_ic12_degenerate_single_key_two_phase(spark):
     assert elapsed < 120, f"ic12 took {elapsed:.0f}s on the degenerate cube"
 
 
+def test_strict_mode_ic12_ic17_plans_have_no_window(spark):
+    """The r6 two-phase conversion of the STRICT branch (the r5 verdict's
+    remaining unsplittable-window path): neither strict ic12 (pairing-key
+    flows into the same two-phase base) nor strict ic17 (previously
+    Window.partitionBy("ds") / (vec_h, ds, vec)) may funnel a hot key
+    through a window partition; ic12 must also keep its map-side partial
+    aggregation. Values are pinned by the strict differential suite; this
+    test pins the executed PLAN SHAPE on the degenerate cube."""
+    v = CubeValidator(_degenerate_cube(spark, 10_000), strict_w3c=True)
+    dup = v.ic12()
+    plan12 = dup._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan12, "strict ic12 must stay window-free"
+    assert "partial_min" in plan12, plan12
+    plan17 = v.ic17()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan17, "strict ic17 must not window-partition by ds"
+    assert dup.count() == 10_000 - 1  # strict pairing key over zero dims == empty key
+    v.unpersist()
+
+
 def test_exact_duplicates_degenerate_single_fingerprint(spark):
     docs = spark.range(N_OBS).select(
         F.col("id").alias("doc_id"), F.lit("the same boilerplate page").alias("text")

@@ -248,6 +248,33 @@ def test_streaming_ic12_dup_check_converges_to_batch(spark, tmp_path):
     assert ("d1", "K", "obsC", "obsB") in rows  # batch-1 flag used the rep of its time
 
 
+def test_streaming_ic12_null_obs_never_enters_state(spark, tmp_path):
+    """A null obs row must be dropped, not coerced to the string "None"
+    (which could even become the representative and corrupt the converged
+    set — r5 ADVICE finding, fixed alongside the r6 vectorized fast path)."""
+    from nospa_rdf_data_cube_validator_spark.streaming.ingest import (
+        streaming_ic12_dup_check,
+    )
+
+    src = str(tmp_path / "obs_null_in")
+    schema = "ds string, obs string, dim_key string"
+    spark.createDataFrame(
+        [("d1", "obsP", "K"), ("d1", None, "K"), ("d1", "obsQ", "K")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_ic12_dup_check(stream)
+        .writeStream.format("memory")
+        .queryName("ic12_dups_null")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["obs"], r["rep"]) for r in spark.table("ic12_dups_null").collect()}
+    assert rows == {("obsQ", "obsP")}  # the null row is neither obs nor rep
+
+
 def test_dup_step_convergence_property():
     """Hypothesis: for ANY multiset of obs ids in ANY batching/order, the
     incremental kernel's flagged SET equals the batch rule (every distinct
