@@ -28,14 +28,23 @@ from . import entities as E
 
 
 def surface_dict(spark: SparkSession) -> DataFrame:
-    """(surface, entity) candidate dictionary from the curated entity list."""
-    rows = [(s, iri) for (s, _ei, _si, iri) in E.surface_rows()]
-    return spark.createDataFrame(rows, "surface string, entity string").distinct()
+    """(surface, entity) candidate dictionary from the curated entity list.
+
+    Deduplicated driver-side and shipped as a LocalRelation (session.
+    local_frame): the curated dictionary is schema-scale, so the previous
+    ``createDataFrame(...).distinct()`` paid a Python-RDD job per broadcast
+    consumption for a distinct the driver can do in a set."""
+    from ..session import local_frame
+
+    rows = sorted({(s, iri) for (s, _ei, _si, iri) in E.surface_rows()})
+    return local_frame(spark, rows, "surface string, entity string")
 
 
 def alias_edges(spark: SparkSession) -> DataFrame:
+    from ..session import local_frame
+
     rows = [(E.entity_iri(a), E.entity_iri(b)) for a, b in E.ALIAS_EDGES]
-    return spark.createDataFrame(rows, "src string, dst string")
+    return local_frame(spark, rows, "src string, dst string")
 
 
 def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:

@@ -105,7 +105,9 @@ def normalize_phase1(store: TripleStore, defer_dedup: bool = False) -> TripleSto
     # dedupe the derived side first (it is internally highly duplicated:
     # N1a and N1b both type every observation) so the final set-union
     # shuffle carries fewer rows.
-    derived = derived.dropDuplicates(["subj", "pred", "obj"])
+    # full-column dedup: the non-key columns are branch constants (see
+    # normalize() — codegen HashAggregate instead of SortAggregate+First)
+    derived = derived.dropDuplicates()
     if defer_dedup:
         return _same_kind(store, store.df.unionByName(derived))
     return store.union(derived)
@@ -259,4 +261,15 @@ def normalize(store: TripleStore) -> TripleStore:
     p1 = normalize_phase1(store, defer_dedup=True)
     p1 = _same_kind(p1, p1.df.localCheckpoint(eager=True))
     multiset = normalize_phase2(p1, defer_dedup=True)
-    return _same_kind(multiset, multiset.df.dropDuplicates(["subj", "pred", "obj"]))
+    # FULL-column dedup on purpose: a subset-key dropDuplicates plans as
+    # an Aggregate with First(obj_kind)/First(obj_datatype)/First(obj_lang)
+    # — string buffers that force SortAggregate (two sorts of every row by
+    # long-URI keys) — while grouping on all six columns is a pure codegen
+    # HashAggregate with no aggregate functions. The canonical term
+    # encoding makes (obj_kind, obj_datatype, obj_lang) functionally
+    # dependent on obj (literals carry datatype/lang inside the term,
+    # IRIs/bnodes are disjoint representations), so the row set is
+    # identical — and Jena's set semantics key on full node identity
+    # anyway (a literal and an IRI with equal lexical form are distinct
+    # triples in the reference model).
+    return _same_kind(multiset, multiset.df.dropDuplicates())

@@ -128,7 +128,12 @@ class CubeValidator:
         rows = df.limit(self.METADATA_CAP + 1).collect()
         if len(rows) > self.METADATA_CAP:
             return df
-        return df.sparkSession.createDataFrame(rows, df.schema)
+        from ..session import local_frame
+
+        # LocalRelation, not a Python-RDD plan: broadcasts of these frames
+        # then build driver-side with no job (guide §4.1) — the previous
+        # form paid a 32-task Python-worker round trip per consumption.
+        return local_frame(df.sparkSession, rows, df.schema)
 
     def _persist(self, df: DataFrame) -> DataFrame:
         """persist() with ownership: released by unpersist()/close() so
@@ -419,62 +424,129 @@ class CubeValidator:
 
         return self._cached("ds_dims_arr", build)
 
-    def _ic11_12_base(self) -> DataFrame:
-        """Shared per-(obs, ds) frame with dims / missing / chosen dim values
-        (fusion of IC-11+IC-12 over one pass, ValidatorIC11_12.java:61-85)."""
+    def _subj_clustered(self) -> bool:
+        """True when the store's scan already provides hash-clustering on
+        ``subj`` (the subj-bucketed at-rest table): the base then needs NO
+        observation-scale Exchange at all. ``sparkPlan()`` (pre-AQE) is
+        the level where a bucketed FileSourceScan reports its
+        HashPartitioning; the localCheckpointed in-memory store reports
+        UnknownPartitioning."""
+        try:
+            part = (
+                self.store.df._jdf.queryExecution().sparkPlan().outputPartitioning().toString()
+            )
+        except Exception:  # noqa: BLE001 — introspection is best-effort
+            return False
+        return part.startswith("hashpartitioning(subj")
+
+    def _tagged(self):
+        """ONE filtered pass over the store keeping dimension-valued
+        triples plus qb:dataSet edges, clustered by subj and persisted
+        (guide §2.4): a single explicit hash(subj) repartition — skipped
+        entirely when the at-rest bucketed layout already clusters by
+        subj — feeds EVERY downstream ic11/ic12 operator, because
+        HashPartitioning(obs) satisfies the stats aggregation's
+        (obs, pred) clustering, the obs_ds dedup's (obs) clustering, the
+        relevance equi-join, the per-(obs, ds) shape aggregation, the
+        final left join and ic11's anti-join (subset clustering +
+        requireAllClusterKeysForCoPartition=false). The previous form
+        paid FOUR obs-scale exchanges: stats by (obs, pred), stats again
+        by (obs), and the obs_ds subtree twice — an optimizer-inferred
+        isnotnull on one branch broke exchange reuse, so the edge scan
+        and its collect_set aggregation literally executed twice. The
+        persist (owned, released by unpersist()) is the barrier that
+        stops predicate pushdown from splitting the shared exchange back
+        into per-branch scans.
+
+        Returns (tagged df, dim-membership Column or None, all_dims df);
+        the Column is None only in the >METADATA_CAP fallback, where
+        callers must semi-join ``all_dims`` instead."""
         def build():
-            ds_dims_arr = F.broadcast(self.ds_dims_arr())
             all_dims = (
                 self.ds_dims_arr().select(F.explode("dims").alias("pred")).distinct()
             )
-            # Phase 1 aggregates ONLY dimension-valued triples with a plain
-            # min — a fully codegen'd HashAggregate with map-side partials
-            # (the skew guard: a degenerate (obs, pred) key reduces to one
-            # partial row per map partition). The earlier form rode the
-            # qb:dataSet edges through the same aggregation via
-            # collect_set(when(...)), which forced BOTH phases into
-            # ObjectHashAggregate (interpreted, sort-fallback) over ~25%
-            # more rows; the (obs, ds) edge table instead shuffles once as
-            # a skinny frame whose dedup AND join both reuse that single
-            # hash(obs) exchange (HashPartitioning(obs) satisfies the
-            # (obs, ds) dedup's clustering and the obs equi-join — one
-            # Exchange, two operators; guide §2.4).
-            cand = self.store.df.join(F.broadcast(all_dims), "pred", "left_semi")
-            stats = cand.groupBy(F.col("subj").alias("obs"), "pred").agg(
+            ds_pred = self.store.lit(qb.QB_DATASET_PROP)
+            dim_rows = all_dims.limit(self.METADATA_CAP + 1).collect()
+            if len(dim_rows) <= self.METADATA_CAP:
+                # metadata-scale dim set: a codegen'd InSet filter — no
+                # broadcast build job at all
+                vals = [r["pred"] for r in dim_rows]
+                is_dim = F.col("pred").isin(vals) if vals else F.lit(False)
+                tagged = self.store.df.where(is_dim | (F.col("pred") == ds_pred))
+            else:  # hostile metadata: keep the broadcast semi-join form
+                preds = all_dims.unionByName(
+                    all_dims.sparkSession.range(1).select(
+                        ds_pred.cast(self.store.term_sql_type).alias("pred")
+                    )
+                )
+                is_dim = None
+                tagged = self.store.df.join(F.broadcast(preds), "pred", "left_semi")
+            tagged = tagged.select("subj", "pred", "obj")
+            if not self._subj_clustered():
+                tagged = tagged.repartition(F.col("subj"))
+            # NOT eagerly materialized: an eager count() here would let
+            # consumers plan against the finalized cache's hash(subj)
+            # partitioning (an unmaterialized cache reports Unknown and
+            # consumers re-Exchange the small derived frames), but the
+            # measured A/B put the extra materialization barrier ABOVE
+            # the cost of those small exchanges (base+ic11 4.35 s lazy vs
+            # 5.62 s eager at bench scale) — the fused first action wins.
+            return (self._persist(tagged), is_dim, all_dims)
+
+        return self._cached("ic11_12_tagged", build)
+
+    def _dim_rows(self) -> DataFrame:
+        """Dimension-valued (subj, pred, obj) rows off the tagged cache."""
+        tagged, is_dim, all_dims = self._tagged()
+        if is_dim is not None:
+            return tagged.where(is_dim)
+        return tagged.join(F.broadcast(all_dims), "pred", "left_semi")
+
+    def _obs_ds_dedup(self) -> DataFrame:
+        """Distinct (obs, ds) via groupBy(obs) collect_set + explode off
+        the tagged cache: matches the value-SET semantics (an obs is
+        checked once per dataset it belongs to) and rides the subj
+        clustering — no exchange of its own."""
+        tagged, _, _ = self._tagged()
+        ds_pred = self.store.lit(qb.QB_DATASET_PROP)
+        return (
+            tagged.where(F.col("pred") == ds_pred)
+            .select(F.col("subj").alias("obs"), F.col("obj").alias("ds"))
+            .groupBy("obs")
+            .agg(F.collect_set("ds").alias("_ds_set"))
+            .select("obs", F.explode("_ds_set").alias("ds"))
+        )
+
+    def _ic11_12_base(self) -> DataFrame:
+        """Shared per-(obs, ds) frame with the IC-12 duplicate key
+        (fusion of IC-11+IC-12 over one pass, ValidatorIC11_12.java:61-85).
+
+        The persisted frame is NARROW on purpose — (obs, ds, complete,
+        present_mask, dim_key, key_h) with a single array column:
+        completeness is a scalar count comparison (relevant rows are
+        unique per (obs, ds, pred), so count(*) equals the number of
+        present declared dims) and presence is an int64 BITMASK over the
+        dataset's sorted dims array (bit i = dims[i] has a value) — a
+        codegen-able long-buffer aggregate, not an array_except over
+        cached string arrays; the ``missing`` array the previous base
+        carried made the InMemoryRelation build + re-read the dominant
+        cost of the hot path. ic11 reconstructs missing dims from the
+        mask with a metadata-scale fan-out join (see ic11()); datasets
+        with more than 63 declared dims get present_mask = NULL and
+        ic11 falls back to a store-level anti-join for them."""
+        def build():
+            all_dims_pairs = F.broadcast(self._ds_dim_pos())
+            # min per (obs, dim): SortAggregate over the already-clustered
+            # cache — no exchange of its own; the degenerate-key partials
+            # stay map-side (O(1) state per key).
+            stats = self._dim_rows().groupBy(F.col("subj").alias("obs"), "pred").agg(
                 F.min("obj").alias("min_val")
             )
-            # distinct (obs, ds) via a groupBy(obs) collect_set + explode:
-            # matches the previous value-SET semantics (an obs is checked
-            # once per dataset it belongs to, matching the reference's
-            # per-dataset iteration) while leaving the exchange decision to
-            # the planner — the aggregation REQUIRES clustering by obs, so
-            # the in-memory path pays one hash(obs) exchange of this skinny
-            # edge table that the relevance join and the final left join
-            # both reuse, and the subj-bucketed AT-REST table (already
-            # HashPartitioning(subj)) pays NONE (an unconditional
-            # repartition here measurably re-introduced the observation-
-            # scale Exchange the bucketed layout exists to remove).
-            obs_ds = (
-                self.obs_ds()
-                .groupBy("obs")
-                .agg(F.collect_set("ds").alias("_ds_set"))
-                .select("obs", F.explode("_ds_set").alias("ds"))
-            )
-            # Relevance is decided BEFORE aggregation with the codegen'd
-            # array_contains row filter, and the per-(obs, ds) shapes are
-            # built by plain collect_set/collect_list aggregations — no
-            # interpreted higher-order lambdas anywhere in the
-            # observation-scale plan (the previous filter/transform/
-            # array_except-over-struct pipeline was evaluated row-at-a-time
-            # by the interpreter; guide §1.2 per-task work). The ds_dims
-            # broadcast join runs on the stats side (one row per
-            # (obs, dim)), so a dataset's declared-dim array never fans
-            # out to raw triple rows.
-            relevant = (
-                stats.join(obs_ds, "obs")
-                .join(ds_dims_arr, "ds")
-                .where(F.expr("array_contains(dims, pred)"))
-            )
+            obs_ds = self._obs_ds_dedup()
+            # Relevance by broadcast equi-join on the exploded (ds, dim)
+            # pairs (codegen hash lookup; the previous array_contains join
+            # condition re-scanned the dims array per row).
+            relevant = stats.join(obs_ds, "obs").join(all_dims_pairs, ["ds", "pred"])
             t = self.store.term_sql_type
             if self.strict_w3c:
                 # official semantics: key by the full (dim, value) pairing
@@ -494,48 +566,112 @@ class CubeValidator:
                 # the transform+array_distinct form computed
                 key_col = F.sort_array(F.collect_set("min_val"))
                 key_t = f"array<{t}>"
+            # bit_or over shifted positions is a plain long-buffer
+            # aggregate; rows from >63-dim datasets contribute NULL
+            # (bit_or ignores nulls -> mask stays meaningful only when
+            # every position fits, which _ds_dim_pos guarantees by
+            # nulling pos for those datasets).
             agg = relevant.groupBy("obs", "ds").agg(
-                F.collect_set("pred").alias("present"), key_col.alias("dim_key0")
+                F.count("*").alias("n_present"),
+                F.bit_or(F.expr("shiftleft(cast(1 as bigint), pos)")).alias("mask0"),
+                key_col.alias("dim_key0"),
+            )
+            n_dims = F.broadcast(
+                self.ds_dims_arr().select("ds", F.size("dims").alias("n_dims"))
             )
             # LEFT join keeps dataSet-bearing observations with zero
-            # relevant dim values (missing = all declared dims; a zero-dim
-            # DSD yields the empty duplicate key, the degenerate-skew
-            # shape); observations without a dataSet edge drop exactly as
-            # before. Only the narrow (obs, ds, missing, dim_key, key_h)
-            # frame is persisted — ic11 and ic12 read nothing else
-            # (guide §5: cache only what is reused).
+            # relevant dim values (complete iff the dataset declares zero
+            # dims — the empty duplicate key, the degenerate-skew shape);
+            # observations without a dataSet edge drop exactly as before.
             base = (
                 obs_ds.join(agg, ["obs", "ds"], "left")
-                .join(ds_dims_arr, "ds", "inner")
+                .join(n_dims, "ds", "inner")
                 .select(
                     "obs",
                     "ds",
-                    F.array_except(
-                        "dims", F.coalesce("present", F.expr("array()").cast(f"array<{t}>"))
-                    ).alias("missing"),
-                    F.coalesce("dim_key0", F.expr("array()").cast(key_t)).alias("dim_key"),
+                    (F.coalesce("n_present", F.lit(0)) == F.col("n_dims")).alias(
+                        "complete"
+                    ),
+                    F.when(
+                        F.col("n_dims") <= 63,
+                        F.coalesce("mask0", F.lit(0).cast("long")),
+                    ).alias("present_mask"),
+                    F.coalesce("dim_key0", F.expr("array()").cast(key_t)).alias(
+                        "dim_key"
+                    ),
                 )
                 .withColumn("key_h", F.xxhash64("ds", "dim_key"))
             )
-            # ic11() and ic12() both consume this observation-scale frame;
-            # persist so two actions don't recompute the groupBys (owned:
-            # released by unpersist()/close()).
             return self._persist(base)
 
         return self._cached("ic11_12_base", build)
+
+    def _ds_dim_pos(self) -> DataFrame:
+        """Metadata frame (ds, pred, pos): each dataset's declared dims
+        with their position in the sorted dims array; pos is NULL for
+        datasets declaring more than 63 dims (no bitmask slot)."""
+        def build():
+            d = self.ds_dims_arr().select(
+                "ds",
+                F.posexplode("dims").alias("pos0", "pred"),
+                F.size("dims").alias("n_dims"),
+            )
+            return self._local(
+                d.select(
+                    "ds",
+                    "pred",
+                    F.when(F.col("n_dims") <= 63, F.col("pos0")).alias("pos"),
+                )
+            )
+
+        return self._cached("ds_dim_pos", build)
 
     def ic11(self) -> DataFrame:
         """IC-11 All dimensions required -> (obs, dim).
 
         Reference picks the *first* value per dim from a HashSet iterator
         (ValidatorIC11_12.java:75); we deterministically use the minimum
-        canonical term."""
+        canonical term.
+
+        Missing dims come from the shared base's presence BITMASK: only
+        incomplete (obs, ds) rows fan out against the metadata-scale
+        (ds, dim, pos) broadcast, and a bit test selects the absent
+        positions — no per-observation arrays and no second
+        observation-scale pass (guide §1.2: the base is computed once for
+        IC-11+IC-12 together). Datasets with >63 dims (present_mask NULL)
+        take a store-level anti-join fallback for exactness."""
         base = self._ic11_12_base()
-        return (
-            base.where(F.size("missing") > 0)
-            .select("obs", F.explode("missing").alias("dim"))
-            .distinct()
+        pairs = F.broadcast(self._ds_dim_pos())
+        incomplete = base.where(~F.col("complete"))
+        masked = (
+            incomplete.where(F.col("present_mask").isNotNull())
+            .join(pairs, "ds")
+            .where(F.expr("(shiftright(present_mask, pos) & 1) = 0"))
+            .select("obs", F.col("pred").alias("dim"))
         )
+        # the >63-dim fallback subtree joins the observation-scale store
+        # again, so it enters the plan only when such a dataset EXISTS
+        # (metadata-scale probe, memoized)
+        has_wide = self._cached(
+            "ic11_has_wide_ds",
+            lambda: bool(
+                self._ds_dim_pos().where(F.col("pos").isNull()).limit(1).collect()
+            ),
+        )
+        if not has_wide:
+            return masked.distinct()
+        wide = incomplete.where(F.col("present_mask").isNull())
+        # >63-dim datasets: exact anti-join limited to those rows
+        expected = (
+            wide.select("obs", "ds")
+            .join(pairs.select("ds", F.col("pred").alias("dim")).distinct(), "ds")
+            .select("obs", "dim")
+        )
+        present = self._dim_rows().select(
+            F.col("subj").alias("obs"), F.col("pred").alias("dim")
+        )
+        fallback = expected.join(present, ["obs", "dim"], "left_anti")
+        return masked.unionByName(fallback).distinct()
 
     def ic12(self) -> DataFrame:
         """IC-12 No duplicate observations -> (obs).
@@ -561,7 +697,7 @@ class CubeValidator:
         # and it degenerates to broadcast when dup groups are few (the
         # common case: duplicate keys are the exception, not the rule).
         # 8-byte hash leads the key so shuffle comparison is long-first.
-        keyed = base.where(F.size("missing") == 0).select("obs", "key_h", "ds", "dim_key")
+        keyed = base.where(F.col("complete")).select("obs", "key_h", "ds", "dim_key")
         groups = (
             keyed.groupBy("key_h", "ds", "dim_key")
             .agg(F.min("obs").alias("rep"), F.count("*").alias("n"))

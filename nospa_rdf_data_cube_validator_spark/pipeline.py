@@ -64,6 +64,10 @@ def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
     # The union below reads `canonical` once per branch; without a persist
     # the whole upstream extraction DAG would re-execute ~8x.
     canonical = canonical.persist()
+    # full-column dedups below: the non-key columns are constants (or
+    # functionally determined by the key), so grouping on every column is
+    # value-identical but plans as a codegen HashAggregate instead of a
+    # SortAggregate with First() string buffers
     kg_edges = canonical.select(
         F.col("subj_entity").alias("subj"),
         F.concat(F.lit(E.PRED_NS), F.col("rel")).alias("pred"),
@@ -71,14 +75,14 @@ def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
         F.lit(terms.KIND_IRI).alias("obj_kind"),
         F.lit(None).cast("string").alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"),
-    ).dropDuplicates(["subj", "pred", "obj"])
+    ).dropDuplicates()
 
     obs = canonical.select(
         F.concat(F.lit(OBS_NS), F.col("conv_id"), F.lit("-t"), F.col("turn_idx"), F.lit("-"), F.col("rel")).alias("obs"),
         F.concat(F.lit(CONV_NS), F.col("conv_id")).alias("conv"),
         F.col("turn_idx").cast("string").alias("turn"),
         F.concat(F.lit(E.PRED_NS), F.col("rel")).alias("relation"),
-    ).dropDuplicates(["obs"])
+    ).dropDuplicates()  # obs determines (conv, turn, relation) by construction
 
     def t_struct(pred: str, obj_col, kind: str, dt: str | None = None) -> F.Column:
         return F.struct(
@@ -129,7 +133,9 @@ def edges_to_graph(spark: SparkSession, canonical: DataFrame) -> DataFrame:
         terms.iri_row(DIM_REL, qb.RDFS_RANGE, qb.PREFIX_RDF + "Property"),
         terms.iri_row(MEAS_COUNT, qb.RDFS_RANGE, XSD_INT),
     ]
-    schema = spark.createDataFrame(schema_rows, terms.TRIPLES_SCHEMA)
+    from .session import local_frame
+
+    schema = local_frame(spark, schema_rows, terms.TRIPLES_SCHEMA)
 
     # No global dropDuplicates: the three parts are disjoint by construction
     # (entity-subject edges vs obs-subject cube rows vs schema constants) and

@@ -133,7 +133,9 @@ def _closure_on_driver(
         tuple(dict(zip(tag_cols, item[:-1]), node=item[-1])[c] for c in cols)
         for item in sorted(reached)
     ]
-    return seeds.sparkSession.createDataFrame(out, seeds.schema)
+    from ..session import local_frame
+
+    return local_frame(seeds.sparkSession, out, seeds.schema)
 
 
 def reachable_pairs(
@@ -188,7 +190,9 @@ def connected_components(
         schema = edges.select(
             F.col("src").alias("node"), F.col("src").alias("component")
         ).schema
-        return edges.sparkSession.createDataFrame(out, schema)
+        from ..session import local_frame
+
+        return local_frame(edges.sparkSession, out, schema)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

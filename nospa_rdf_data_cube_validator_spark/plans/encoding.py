@@ -66,7 +66,9 @@ def build_dictionary(triples: DataFrame, parts: int = 64) -> DataFrame:
     ``min(id) == id(min(term))`` (module docstring) and ``decode()``
     joins by id value."""
     spark = triples.sparkSession
-    vocab = spark.createDataFrame([(t,) for t in vocabulary_terms()], "term string")
+    from ..session import local_frame
+
+    vocab = local_frame(spark, [(t,) for t in vocabulary_terms()], "term string")
     all_terms = (
         triples.select(F.col("subj").alias("term"))
         .unionByName(triples.select(F.col("pred").alias("term")))
@@ -103,7 +105,9 @@ class EncodedTripleStore(TripleStore):
         self.dictionary = dictionary
         vocab = vocabulary_terms()
         spark = df.sparkSession
-        vocab_df = spark.createDataFrame([(t,) for t in vocab], "term string")
+        from ..session import local_frame
+
+        vocab_df = local_frame(spark, [(t,) for t in vocab], "term string")
         rows = dictionary.join(F.broadcast(vocab_df), "term", "left_semi").collect()
         self._const = {r["term"]: r["id"] for r in rows}
 

@@ -12,6 +12,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_frame(spark: SparkSession, rows, schema):
+    """Driver-side rows -> a TRUE LocalRelation DataFrame.
+
+    ``spark.createDataFrame(list_of_rows)`` builds a *Python RDD* plan
+    (``applySchemaToPythonRDD``): every evaluation — including each
+    BroadcastExchange that consumes it — launches a full task set whose
+    tasks round-trip through Python workers to unpickle the rows
+    (~200 ms/task measured on metadata-scale frames). Routing the same
+    rows through a pandas DataFrame makes the Arrow conversion happen ON
+    THE DRIVER and yields a LocalRelation: broadcasts build directly from
+    driver memory with no job and no Python workers (measured 2x faster
+    per broadcast use; guide §4.1 — keep the Python boundary out of the
+    plan). Values are identical; falls back to the plain path if the
+    Arrow conversion cannot represent the rows."""
+    import pandas as pd
+
+    try:
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = _parse_datatype_string(schema)
+        names = [f.name for f in schema.fields] if hasattr(schema, "fields") else None
+        if names is None:
+            return spark.createDataFrame(list(rows), schema)
+        pdf = pd.DataFrame([tuple(r) for r in rows], columns=names, dtype=object)
+        df = spark.createDataFrame(pdf, schema)
+        # only accept the fast path if it actually produced a LocalRelation
+        if df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName() == "LocalRelation":
+            return df
+    except Exception:
+        pass
+    return spark.createDataFrame(list(rows), schema)
+
+
 def spread(df, min_partitions: int | None = None):
     """Parallelism floor for heavy map-side pipelines (Python kernels,
     regex scans, text generation): repartition only when the plan has
@@ -45,6 +79,16 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    # The pre-importing worker daemon (worker_daemon.py) must be
+    # importable by the Python the JVM spawns; the driver's sys.path
+    # injection does not propagate, so export the package root on
+    # PYTHONPATH before the JVM (which inherits this environment) starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -83,6 +127,36 @@ def get_spark(
         # low-cardinality suffix key, so clustering by obs alone cannot
         # concentrate load.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # ObjectHashAggregate (collect_set/collect_list aggregations — the
+        # obs_ds dedup, the per-(obs, ds) shape aggregation, IC-17 vectors,
+        # LSH bucket grouping) falls back to SORT-based aggregation once a
+        # task's hash map holds more than this many KEYS. The default (128)
+        # makes every observation-scale collect_* aggregation silently sort
+        # its entire partition by long URI strings — measured as the
+        # dominant CPU in the ic11/12 base build. Per-task memory stays
+        # bounded by (keys x small set buffers); at 4M keys x ~200 B that
+        # is <1 GB per task, sized to this sandbox's 8g driver. Production
+        # clusters size it to executor memory / concurrent tasks — the env
+        # knob ships with the engine (guide §2.3: the fallback remains the
+        # OOM guard, it just should not fire at 128 keys).
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OHA_FALLBACK", str(4 * 1024 * 1024)),
+        )
+        # Allow shuffled-hash joins where the per-partition build side fits
+        # (guide §3.1/§9): the validator's obs-keyed joins otherwise pay two
+        # full sorts of long-URI keys per SortMergeJoin. AQE skew-join
+        # handling covers SHJ as well; sort-merge remains available when
+        # the planner's size conditions do not hold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Workers fork from a daemon that has ALREADY imported
+        # numpy/pandas/pyarrow (worker_daemon.py): the first task of each
+        # fresh worker inherits them copy-on-write instead of paying the
+        # import serially behind its first Arrow batch (guide §4.5).
+        .config(
+            "spark.python.daemon.module",
+            "nospa_rdf_data_cube_validator_spark.worker_daemon",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -32,7 +32,10 @@ TOOLS = ["search", "calculator", "database"]
 
 
 def _surface_lookup(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    from ..session import local_frame
+
+    return local_frame(
+        spark,
         [(ei, si, s) for (s, ei, si, _) in E.surface_rows()],
         "ent_idx int, surf_idx int, surface string",
     )

@@ -112,3 +112,58 @@ def test_exact_duplicates_null_text_group(spark):
     )
     got = {(r["id"], r["canonical_id"]) for r in exact_duplicates(docs).collect()}
     assert got == {(2, 1), (4, 3)}
+
+
+def test_ic11_bitmask_wide_dataset_fallback(spark):
+    """The r6 bitmask base caps presence tracking at 63 dims per dataset;
+    datasets declaring more take the exact anti-join fallback. This pins
+    both paths on one cube: a 70-dim dataset (mask NULL -> fallback) and
+    a 3-dim dataset (mask path), each with observations missing known
+    dims."""
+    from nospa_rdf_data_cube_validator_spark.operators.normalize import normalize
+
+    def iri(s, p, o):
+        return (s, p, o, "iri", None, None)
+
+    rows = []
+    # wide dataset: 70 declared dims
+    rows.append(iri(EG + "dsW", qb.QB_STRUCTURE, EG + "dsdW"))
+    for i in range(70):
+        rows.append(iri(EG + "dsdW", qb.QB_COMPONENT, f"_:wc{i}"))
+        rows.append(iri(f"_:wc{i}", qb.QB_DIMENSION, EG + f"wdim{i}"))
+    # narrow dataset: 3 declared dims
+    rows.append(iri(EG + "dsN", qb.QB_STRUCTURE, EG + "dsdN"))
+    for i in range(3):
+        rows.append(iri(EG + "dsdN", qb.QB_COMPONENT, f"_:nc{i}"))
+        rows.append(iri(f"_:nc{i}", qb.QB_DIMENSION, EG + f"ndim{i}"))
+    # obsW has values for wdim0..wdim67 (missing wdim68, wdim69)
+    rows.append(iri(EG + "obsW", qb.QB_DATASET_PROP, EG + "dsW"))
+    for i in range(68):
+        rows.append(iri(EG + "obsW", EG + f"wdim{i}", EG + f"v{i}"))
+    # obsN has values for ndim0 only (missing ndim1, ndim2)
+    rows.append(iri(EG + "obsN", qb.QB_DATASET_PROP, EG + "dsN"))
+    rows.append(iri(EG + "obsN", EG + "ndim0", EG + "v0"))
+    # obsOK is complete in dsN
+    rows.append(iri(EG + "obsOK", qb.QB_DATASET_PROP, EG + "dsN"))
+    for i in range(3):
+        rows.append(iri(EG + "obsOK", EG + f"ndim{i}", EG + f"v{i}"))
+    store = TripleStore(
+        spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_kind string,"
+            " obj_datatype string, obj_lang string",
+        )
+    )
+    v = CubeValidator(normalize(store))
+    got = {(r["obs"], r["dim"]) for r in v.ic11().collect()}
+    want = {
+        (EG + "obsW", EG + "wdim68"),
+        (EG + "obsW", EG + "wdim69"),
+        (EG + "obsN", EG + "ndim1"),
+        (EG + "obsN", EG + "ndim2"),
+    }
+    assert got == want
+    # and ic12 completeness still works across both datasets: only obsOK
+    # and obsW... obsW is incomplete, obsOK alone in its key group
+    assert v.ic12().count() == 0
+    v.unpersist()
