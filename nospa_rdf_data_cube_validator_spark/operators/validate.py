@@ -187,16 +187,31 @@ class CubeValidator:
         materialized (one scan, one collect); all memoized metadata frames
         build from it with zero further passes over the full store. Falls
         back transparently to a distributed (but still filtered) frame
-        over METADATA_CAP."""
+        over METADATA_CAP. When local, the collected rows are stashed
+        (``meta_rows`` memo) so the hot-path metadata builders below can
+        derive their frames in pure Python with ZERO Spark jobs."""
         def build():
             tv = self.store.term_value
             cond = F.col("pred").isin([tv(p) for p in self._META_PREDS]) | (
                 (F.col("pred") == self.store.lit(qb.RDF_TYPE))
                 & F.col("obj").isin([tv(c) for c in self._META_CLASSES])
             )
-            return self.store.with_df(self._local(self.store.df.where(cond)))
+            df = self.store.df.where(cond)
+            rows = df.limit(self.METADATA_CAP + 1).collect()
+            if len(rows) > self.METADATA_CAP:
+                return self.store.with_df(df)
+            self._memo["meta_rows"] = rows
+            from ..session import local_frame
+
+            return self.store.with_df(local_frame(df.sparkSession, rows, df.schema))
 
         return self._cached("meta_store", build)
+
+    def _meta_rows(self):
+        """The collected schema-triple rows, or None when the meta store
+        stayed distributed (hostile >cap metadata)."""
+        self._meta_store()
+        return self._memo.get("meta_rows")
 
     def obs_ds(self) -> DataFrame:
         """(obs, ds): the observation-scale qb:dataSet edge table."""
@@ -207,19 +222,66 @@ class CubeValidator:
             ),
         )
 
+    def _spark(self):
+        return self.store.df.sparkSession
+
     def ds_list(self) -> DataFrame:
         """Datasets = subjects of qb:structure (the reference's iteration
         domain for per-dataset checks, e.g. ValidatorIC11_12.java:30-41)."""
-        return self._cached(
-            "ds_list",
-            lambda: self._local(
+        def build():
+            rows = self._meta_rows()
+            if rows is not None:
+                from ..session import local_frame
+
+                tv = self.store.term_value(qb.QB_STRUCTURE)
+                vals = sorted({r.subj for r in rows if r.pred == tv})
+                self._memo["ds_list_vals"] = vals
+                return local_frame(
+                    self._spark(), [(v,) for v in vals], f"ds {self.store.term_sql_type}"
+                )
+            return self._local(
                 self._meta_store().p(qb.QB_STRUCTURE).select(F.col("subj").alias("ds")).distinct()
-            ),
-        )
+            )
+
+        return self._cached("ds_list", build)
 
     def ds_comp_props(self) -> DataFrame:
-        """(ds, prop, prop_kind): ?ds qb:structure/qb:component/qb:componentProperty ?prop."""
+        """(ds, prop, prop_kind): ?ds qb:structure/qb:component/qb:componentProperty ?prop.
+
+        Pure-Python derivation (zero Spark jobs) when the schema triples
+        are driver-known (_meta_rows); the distributed join fallback
+        otherwise. Values identical: the same structure/component/
+        componentProperty hops, distinct, sorted deterministically."""
         def build():
+            rows = self._meta_rows()
+            if rows is not None:
+                from ..session import local_frame
+
+                tv = self.store.term_value
+                t_struct, t_comp, t_cp = (
+                    tv(qb.QB_STRUCTURE),
+                    tv(qb.QB_COMPONENT),
+                    tv(qb.QB_COMPONENT_PROPERTY),
+                )
+                ds_dsd = [(r.subj, r.obj) for r in rows if r.pred == t_struct]
+                dsd_specs: dict = {}
+                spec_props: dict = {}
+                for r in rows:
+                    if r.pred == t_comp:
+                        dsd_specs.setdefault(r.subj, []).append(r.obj)
+                    elif r.pred == t_cp:
+                        spec_props.setdefault(r.subj, []).append((r.obj, r.obj_kind))
+                out = {
+                    (ds, prop, kind)
+                    for ds, dsd in ds_dsd
+                    for spec in dsd_specs.get(dsd, ())
+                    for prop, kind in spec_props.get(spec, ())
+                }
+                t = self.store.term_sql_type
+                self._memo["ds_comp_props_rows"] = sorted(out)
+                return local_frame(
+                    self._spark(), sorted(out), f"ds {t}, prop {t}, prop_kind string"
+                )
             meta = self._meta_store()
             structure = meta.p(qb.QB_STRUCTURE).select(
                 F.col("subj").alias("ds"), F.col("obj").alias("dsd")
@@ -241,20 +303,34 @@ class CubeValidator:
 
         return self._cached("ds_comp_props", build)
 
+    def _typed_local(self, key: str, rdf_class: str) -> DataFrame:
+        """typed() subjects as a job-free LocalRelation when the schema
+        triples are driver-known; the distributed _local fallback
+        otherwise (column name ``subj`` either way)."""
+        def build():
+            rows = self._meta_rows()
+            if rows is not None:
+                from ..session import local_frame
+
+                t_type = self.store.term_value(qb.RDF_TYPE)
+                t_cls = self.store.term_value(rdf_class)
+                vals = sorted({r.subj for r in rows if r.pred == t_type and r.obj == t_cls})
+                self._memo[key + "_vals"] = vals
+                return local_frame(
+                    self._spark(), [(v,) for v in vals], f"subj {self.store.term_sql_type}"
+                )
+            return self._local(self._meta_store().typed(rdf_class))
+
+        return self._cached(key, build)
+
     def dims_defined(self) -> DataFrame:
-        return self._cached(
-            "dims_defined", lambda: self._local(self._meta_store().typed(qb.QB_DIMENSION_PROPERTY))
-        )
+        return self._typed_local("dims_defined", qb.QB_DIMENSION_PROPERTY)
 
     def measures_defined(self) -> DataFrame:
-        return self._cached(
-            "measures_defined", lambda: self._local(self._meta_store().typed(qb.QB_MEASURE_PROPERTY))
-        )
+        return self._typed_local("measures_defined", qb.QB_MEASURE_PROPERTY)
 
     def attrs_defined(self) -> DataFrame:
-        return self._cached(
-            "attrs_defined", lambda: self._local(self._meta_store().typed(qb.QB_ATTRIBUTE_PROPERTY))
-        )
+        return self._typed_local("attrs_defined", qb.QB_ATTRIBUTE_PROPERTY)
 
     def _obs_pred_stats(self, preds: DataFrame) -> DataFrame:
         """(obs, pred, n_vals, min_val) over triples whose pred is in ``preds``.
@@ -403,8 +479,30 @@ class CubeValidator:
     def ds_dims_arr(self) -> DataFrame:
         """(ds, dims sorted-array): declared dims per dataset, kept even when
         empty (a structure-bearing dataset with zero dims makes every obs
-        after the first a duplicate under the reference's empty-key set)."""
+        after the first a duplicate under the reference's empty-key set).
+
+        Pure-Python derivation (zero Spark jobs) when the schema triples
+        are driver-known — the previous chain of small jobs over local
+        relations (semi-join, groupBy, left join) cost more in scheduling
+        than the data justifies; values identical, pinned by the memoized
+        ``ds_dims_rows`` also feeding _ds_dim_pos and _tagged."""
         def build():
+            self.ds_comp_props(), self.dims_defined(), self.ds_list()
+            dcp = self._memo.get("ds_comp_props_rows")
+            dims = self._memo.get("dims_defined_vals")
+            dss = self._memo.get("ds_list_vals")
+            if dcp is not None and dims is not None and dss is not None:
+                from ..session import local_frame
+
+                dimset = set(dims)
+                per_ds: dict = {}
+                for ds, prop, kind in dcp:
+                    if kind == terms.KIND_IRI and prop in dimset:
+                        per_ds.setdefault(ds, set()).add(prop)
+                rows = [(ds, sorted(per_ds.get(ds, ()))) for ds in dss]
+                self._memo["ds_dims_rows"] = rows
+                t = self.store.term_sql_type
+                return local_frame(self._spark(), rows, f"ds {t}, dims array<{t}>")
             ds_dims = (
                 self.ds_comp_props()
                 .where(F.col("prop_kind") == terms.KIND_IRI)
@@ -466,11 +564,18 @@ class CubeValidator:
                 self.ds_dims_arr().select(F.explode("dims").alias("pred")).distinct()
             )
             ds_pred = self.store.lit(qb.QB_DATASET_PROP)
-            dim_rows = all_dims.limit(self.METADATA_CAP + 1).collect()
+            dd_rows = self._memo.get("ds_dims_rows")
+            if dd_rows is not None:  # driver-known: no collect job at all
+                vals = sorted({p for _ds, dims in dd_rows for p in dims})
+                dim_rows = vals
+            else:
+                dim_rows = [
+                    r["pred"] for r in all_dims.limit(self.METADATA_CAP + 1).collect()
+                ]
+                vals = dim_rows
             if len(dim_rows) <= self.METADATA_CAP:
                 # metadata-scale dim set: a codegen'd InSet filter — no
                 # broadcast build job at all
-                vals = [r["pred"] for r in dim_rows]
                 is_dim = F.col("pred").isin(vals) if vals else F.lit(False)
                 tagged = self.store.df.where(is_dim | (F.col("pred") == ds_pred))
             else:  # hostile metadata: keep the broadcast semi-join form
@@ -611,6 +716,18 @@ class CubeValidator:
         with their position in the sorted dims array; pos is NULL for
         datasets declaring more than 63 dims (no bitmask slot)."""
         def build():
+            self.ds_dims_arr()
+            dd_rows = self._memo.get("ds_dims_rows")
+            if dd_rows is not None:  # driver-known: zero jobs
+                from ..session import local_frame
+
+                out = [
+                    (ds, p, i if len(dims) <= 63 else None)
+                    for ds, dims in dd_rows
+                    for i, p in enumerate(dims)
+                ]
+                t = self.store.term_sql_type
+                return local_frame(self._spark(), out, f"ds {t}, pred {t}, pos int")
             d = self.ds_dims_arr().select(
                 "ds",
                 F.posexplode("dims").alias("pos0", "pred"),
@@ -652,12 +769,14 @@ class CubeValidator:
         # the >63-dim fallback subtree joins the observation-scale store
         # again, so it enters the plan only when such a dataset EXISTS
         # (metadata-scale probe, memoized)
-        has_wide = self._cached(
-            "ic11_has_wide_ds",
-            lambda: bool(
-                self._ds_dim_pos().where(F.col("pos").isNull()).limit(1).collect()
-            ),
-        )
+        def probe_wide():
+            self.ds_dims_arr()
+            dd_rows = self._memo.get("ds_dims_rows")
+            if dd_rows is not None:
+                return any(len(dims) > 63 for _ds, dims in dd_rows)
+            return bool(self._ds_dim_pos().where(F.col("pos").isNull()).limit(1).collect())
+
+        has_wide = self._cached("ic11_has_wide_ds", probe_wide)
         if not has_wide:
             return masked.distinct()
         wide = incomplete.where(F.col("present_mask").isNull())

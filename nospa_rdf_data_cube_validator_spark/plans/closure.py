@@ -29,7 +29,25 @@ def _probe_pdf(df: DataFrame, threshold: int):
     input fits (the caller can drive on it directly — no second collect
     job, no per-row pickling) or None when it does not. Bounded driver
     memory either way (same bound _fits enforced); guide §5/§6 — Arrow
-    for driver transfers instead of the row-pickle path."""
+    for driver transfers instead of the row-pickle path.
+
+    LocalRelation-backed inputs (e.g. the constant alias-edge graph in
+    the KG canonicalization path) short-circuit to a JOB-FREE
+    executeCollect — LocalTableScan collects driver-side without
+    launching tasks, so the closure costs zero cluster actions."""
+    import pandas as pd
+
+    try:
+        if (
+            df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+            == "LocalRelation"
+        ):
+            rows = df.limit(threshold + 1).collect()
+            if len(rows) > threshold:
+                return None
+            return pd.DataFrame([tuple(r) for r in rows], columns=df.columns)
+    except Exception:  # noqa: BLE001 — fall through to the Arrow action
+        pass
     pdf = df.limit(threshold + 1).toPandas()
     return pdf if len(pdf) <= threshold else None
 
@@ -59,16 +77,20 @@ def transitive_closure(
     overhead. Larger inputs take the distributed loop below.
     """
     tag_cols = [c for c in seeds.columns if c != "node"]
-    seeds_d = seeds.dropDuplicates()
     # Driver fast path decided with ONE action per side (probe and
     # transfer fused, Arrow-serialized): the previous shape paid an eager
     # localCheckpoint + a limit-count + a row-pickling collect() per side
-    # (5-6 jobs) before the BFS even started.
+    # (5-6 jobs) before the BFS even started. Seeds are probed RAW (the
+    # BFS's reached-set dedups anyway), so a LocalRelation seed frame —
+    # the constant alias graph of the KG path — stays on the job-free
+    # executeCollect branch of _probe_pdf instead of paying a
+    # dropDuplicates job.
     e_pdf = _probe_pdf(edges, driver_threshold)
     if e_pdf is not None:
-        s_pdf = _probe_pdf(seeds_d, driver_threshold)
+        s_pdf = _probe_pdf(seeds, driver_threshold)
         if s_pdf is not None:
-            return _closure_on_driver(seeds_d, s_pdf, e_pdf, tag_cols, list(edge_tags))
+            return _closure_on_driver(seeds, s_pdf, e_pdf, tag_cols, list(edge_tags))
+    seeds_d = seeds.dropDuplicates()
     # The edge set is re-joined every iteration: materialize it once instead
     # of recomputing its upstream plan per hop.
     edges = edges.localCheckpoint(eager=True)

@@ -167,3 +167,33 @@ def test_ic11_bitmask_wide_dataset_fallback(spark):
     # and obsW... obsW is incomplete, obsOK alone in its key group
     assert v.ic12().count() == 0
     v.unpersist()
+
+
+def test_entry_ic12_duplicates_two_phase_matches_window(spark, tmp_path):
+    """The r6 rewrite of the declared ic12_duplicates query (window ->
+    two-phase groupBy + null-safe join-back): identical rows to the
+    window form on data WITH duplicate groups and NULL keys (the
+    testdata has neither, so the oracle hash alone would not catch a
+    null-semantics slip), and no Window in the executed plan."""
+    import __spark_entry__ as em
+    from pyspark.sql import Window
+
+    rows = [(1, 10, 100, 1), (1, 10, 100, 2), (1, 10, 100, 3),
+            (2, 20, 200, 5), (2, None, 200, 6), (2, None, 200, 7),
+            (None, None, None, 8), (None, None, None, 9), (3, 30, 300, 4)]
+    l = spark.createDataFrame(
+        rows, "l_orderkey int, l_partkey int, l_suppkey int, l_linenumber int"
+    )
+    l.write.parquet(str(tmp_path / "lineitem.parquet"))
+    w = Window.partitionBy("l_orderkey", "l_partkey", "l_suppkey")
+    win = (
+        l.withColumn("min_line", F.min("l_linenumber").over(w))
+        .withColumn("grp", F.count("*").over(w))
+        .where((F.col("grp") > 1) & (F.col("l_linenumber") != F.col("min_line")))
+        .select("l_orderkey", "l_linenumber")
+    )
+    two = em.q_ic12_duplicates(spark, str(tmp_path))
+    assert "Window" not in two._jdf.queryExecution().executedPlan().toString()
+    a = sorted([tuple(r) for r in win.collect()], key=str)
+    b = sorted([tuple(r) for r in two.collect()], key=str)
+    assert a == b == [(1, 2), (1, 3), (2, 7), (None, 9)]
