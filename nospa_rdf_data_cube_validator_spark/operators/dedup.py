@@ -177,16 +177,18 @@ def minhash_duplicates(
     pairs = lsh_candidate_pairs(sigs, bands=bands)
     s_a = sigs.select(F.col("id").alias("src"), F.col("sig").alias("sig_a"))
     s_b = sigs.select(F.col("id").alias("dst"), F.col("sig").alias("sig_b"))
+    # equal-slot count as an unrolled codegen expression: the signature
+    # width is statically known, and the higher-order
+    # aggregate(zip_with(...)) form is interpreted per element per pair —
+    # measured as the dominant JVM CPU of the verify stage (guide §4.1:
+    # prefer codegen expressions over interpreted lambdas).
+    eq_sum = " + ".join(
+        f"if(sig_a[{i}] = sig_b[{i}], 1, 0)" for i in range(n_hashes)
+    )
     verified = (
         pairs.join(s_a, "src")
         .join(s_b, "dst")
-        .withColumn(
-            "est_jaccard",
-            F.expr(
-                "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-            )
-            / F.size("sig_a"),
-        )
+        .withColumn("est_jaccard", F.expr(eq_sum) / F.size("sig_a"))
         .where(F.col("est_jaccard") >= threshold)
         .select("src", "dst")
     )
