@@ -392,3 +392,62 @@ QUALIFY rank <= {k}
     want = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
     assert got == want
     assert len(got) == 5 * k
+
+
+def test_extract_mentions_matches_regex_kernel(spark):
+    """The r6 vectorized split/slice extraction must agree with the
+    anchored lazy-group regex each template compiles to, on adversarial
+    texts: mid-segment at position 0 (the regex backtracks past it),
+    repeated mid segments, empty would-be groups, missing suffixes,
+    newlines inside groups (the regex's `.` excludes them), and plain
+    hits for every template."""
+    import re
+
+    import pandas as pd
+
+    from nospa_rdf_data_cube_validator_spark.functions import entities as E
+    from nospa_rdf_data_cube_validator_spark.functions.extraction import (
+        _template_patterns,
+        extract_mentions,
+    )
+
+    mid0 = " works with "
+    suf0 = " on the pipeline."
+    texts = [
+        "A works with B on the pipeline.",
+        " works with B works with C on the pipeline.",
+        "A works with  on the pipeline.",
+        "A works with B on the pipeline",
+        mid0 + mid0 + suf0,
+        mid0 + "x" + suf0,
+        "x" + mid0 + suf0,
+        "A works with B\nC on the pipeline.",
+        "A\nB works with C on the pipeline.",
+        " works with A\nB works with C on the pipeline.",
+        "A visited B last week.",
+        "A visited B last week. extra",
+        "A depends on B for data.",
+        "A reported an issue to B.",
+        "A reported an issue to .",
+        "",
+        suf0,
+        "A works with B on the pipeline. works with C on the pipeline.",
+    ]
+    pats = [(re.compile(p), rel) for p, rel in _template_patterns()]
+    expected = set()
+    for i, t in enumerate(texts):
+        for rx, rel in pats:
+            m = rx.match(t)
+            if m:
+                expected.add((f"c{i}", i, rel, m.group(1), m.group(2)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": [f"c{i}" for i in range(len(texts))],
+                      "turn_idx": list(range(len(texts))),
+                      "text": texts}),
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"], r["rel"], r["subj_surface"], r["obj_surface"])
+        for r in extract_mentions(df).collect()
+    }
+    assert got == expected
