@@ -63,6 +63,24 @@ def spread(df, min_partitions: int | None = None):
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # Decide from the OPTIMIZED plan's size estimate instead of
+    # df.rdd.getNumPartitions(): the rdd probe forces a full physical
+    # planning pass (~50-150 ms per fresh frame, paid again when the real
+    # action plans the repartitioned frame), while logical stats cost
+    # ~4 ms. Rule: skip when the plan already carries a Repartition
+    # (spread applied upstream) or when the estimated input is large
+    # enough to plan >= target scan splits anyway; the physical-plan
+    # probe remains the fallback. Mis-estimates only add or skip one
+    # narrow repartition of a small frame — never a correctness concern.
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if "Repartition" in plan.toString():
+            return df
+        est = int(plan.stats().sizeInBytes())
+        threshold = target * 128 * 1024 * 1024  # maxPartitionBytes default
+        return df if est >= threshold else df.repartition(target)
+    except Exception:  # noqa: BLE001 — fall back to the physical probe
+        pass
     try:
         n = df.rdd.getNumPartitions()
     except Exception:
