@@ -928,7 +928,10 @@ _GATE_CLEANUP_REGISTERED: set[str] = set()
 def _gate_workdir_housekeeping(workdir: str) -> None:
     """Bound the pid-keyed gate workdirs: remove THIS process's dir at
     exit (after the gate's warm-resume window closes) and sweep sibling
-    dirs older than a day (their owning driver processes are long gone)."""
+    dirs whose owning pid is DEAD (the pid is plaintext in the dir name,
+    so liveness is checkable — mtime age alone could reap the warm
+    workdir of a >24 h driver mid-session; r5 ADVICE). Dirs in the old
+    hash-only format keep the mtime-age rule."""
     import atexit
     import shutil
     import tempfile
@@ -943,8 +946,20 @@ def _gate_workdir_housekeeping(workdir: str) -> None:
             if not name.startswith("nospa_gate_atrest_"):
                 continue
             p = os.path.join(tmp, name)
-            if p != workdir and _time.time() - os.path.getmtime(p) > 86400:
-                shutil.rmtree(p, ignore_errors=True)
+            if p == workdir:
+                continue
+            pid_part = name[len("nospa_gate_atrest_"):].split("_", 1)[0]
+            if pid_part.isdigit():
+                try:
+                    os.kill(int(pid_part), 0)
+                    continue  # owner alive: never sweep, regardless of age
+                except ProcessLookupError:
+                    pass  # owner dead: sweep below
+                except PermissionError:
+                    continue  # alive under another uid
+            elif _time.time() - os.path.getmtime(p) <= 86400:
+                continue  # legacy hash-only name: keep the age rule
+            shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
 
@@ -974,9 +989,12 @@ def q_bucketed_cube_ic12(spark, sf_dir):
     src = os.path.join(sf_dir, "lineitem.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|{os.getpid()}".encode()
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    workdir = os.path.join(tempfile.gettempdir(), f"nospa_gate_atrest_{key}")
+    # pid in PLAINTEXT so the sweep can check owner liveness (r5 ADVICE)
+    workdir = os.path.join(
+        tempfile.gettempdir(), f"nospa_gate_atrest_{os.getpid()}_{key}"
+    )
     _gate_workdir_housekeeping(workdir)
     runner = StageRunner(spark, workdir)
     cube = runner.run_table(

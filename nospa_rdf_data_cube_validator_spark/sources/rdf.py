@@ -312,7 +312,15 @@ class _TurtleParser:
             if t is None or t.startswith("_:") or not (t.startswith("<") or ":" in t):
                 raise ValueError(f"expected datatype IRI after '^^', got {t!r}")
             return (t[1:-1] if t.startswith("<") else self._expand(t)), lang
-        if nxt is not None and self._LANGTAG_RE.fullmatch(nxt):
+        # the '@prefix'/'@base' directive keywords also match the LANGTAG
+        # shape; consuming one here (possible only in MALFORMED Turtle
+        # missing the statement's '.') would turn a clear missing-'.'
+        # diagnostic into a misleading later parse error (r5 ADVICE)
+        if (
+            nxt is not None
+            and nxt not in ("@prefix", "@base")
+            and self._LANGTAG_RE.fullmatch(nxt)
+        ):
             if dt or lang:
                 raise ValueError("literal cannot carry both a datatype and a language tag")
             self._next()
