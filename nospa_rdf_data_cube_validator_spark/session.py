@@ -48,8 +48,10 @@ def local_frame(spark: SparkSession, rows, schema):
 
 def spread(df, min_partitions: int | None = None):
     """Parallelism floor for heavy map-side pipelines (Python kernels,
-    regex scans, text generation): repartition only when the plan has
-    FEWER partitions than the session's default parallelism.
+    regex scans, text generation): repartition only when the plan would
+    otherwise scan in fewer partitions than the session's default
+    parallelism (decided from the optimized plan's size estimate; the
+    physical-plan probe is the fallback).
 
     Single-file parquet inputs with one row group plan as ONE scan
     partition, so everything up to the first Exchange — Arrow kernels,
